@@ -1,0 +1,66 @@
+"""Headline benchmark: dense ZNCC cost volume + 8-direction SGM + WTA +
+subpixel on one synthetic stereo pair at the reference benchmark geometry
+(~480p, D=120 — `test/benchmarks/benchmarkCrossCorrelationAlgorithms.cpp:
+370-401`; the reference publishes no numbers, so vs_baseline reports the
+fraction of the HBM-bandwidth roofline achieved, per BASELINE.md's >=90%
+target).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+import json
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    from __graft_entry__ import entry
+
+    fn, args = entry()
+    jfn = jax.jit(fn)
+    out = jfn(*args)
+    np.asarray(out)  # compile + full sync via host transfer
+
+    # distinct inputs per iteration (defeats any caching in the device
+    # tunnel) and a host transfer per iteration for a hard sync point
+    rng = np.random.default_rng(123)
+    n_iter = 10
+    variants = [tuple(a + jnp.float32(rng.uniform(0, 1e-3)) for a in args)
+                for _ in range(n_iter)]
+    for v in variants:
+        jax.block_until_ready(v)
+    checksum = 0.0
+    t0 = time.perf_counter()
+    for v in variants:
+        out = jfn(*v)
+        checksum += float(out[0, 0])
+    dt = (time.perf_counter() - t0) / n_iter
+    fps = 1.0 / dt
+
+    # Roofline: the pipeline is HBM-bandwidth bound.  Minimum traffic per
+    # frame (float32): CV write+read into SGM (2x), 8 direction passes each
+    # read CV + accumulate (streaming: ~2x per pass read+write of the sgm
+    # volume), WTA read.  Conservative lower bound: 4 full cost-volume
+    # sweeps of H*W*D*4 bytes.
+    H, W = args[0].shape
+    D = 120
+    bytes_min = 4 * (H * W * D * 4)
+    dev = jax.devices()[0]
+    # TPU v5e: ~819 GB/s HBM BW
+    hbm_bw = 819e9
+    t_roofline = bytes_min / hbm_bw
+    vs = t_roofline / dt
+
+    print(json.dumps({
+        "metric": "dense ZNCC+SGM8+WTA+subpixel 480x640 D=120 frames/s/chip",
+        "value": round(fps, 3),
+        "unit": "frames/s",
+        "vs_baseline": round(vs, 4),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -136,37 +136,50 @@ def _build_lines(H: int, W: int, margins: tuple, direction: SgmDirection):
     return ii, jj, active
 
 
+def _line_recurrence(prev: jnp.ndarray, base: jnp.ndarray, j: jnp.ndarray,
+                     W: int, P1: float, P2: float, Pout: float):
+    """One DP step of the (cost-mode) SGM recurrence, vectorized over leading
+    line axes: prev/base are (..., D), j is (...,) column coordinates for the
+    Pout out-of-image test (`sgm.h:230-300`).  Returns (cur, adj) with
+    cur = base + adj the new carry and adj the ``actual - base`` contribution.
+
+    Uses the O(D) min-shift collapse ``min(prev[d], prev[d+-1]+P1,
+    min(prev)+P2)`` when P2 >= P1 (exact there), else the dense penalty
+    matrix."""
+    D = base.shape[-1]
+    inf = jnp.float32(jnp.inf)
+    dd = jnp.arange(D, dtype=jnp.int32)
+    prevf = jnp.where(jnp.isfinite(prev), prev, inf)
+    m = jnp.min(prevf, axis=-1, keepdims=True)
+    if P2 >= P1:
+        pad = jnp.full(prevf.shape[:-1] + (1,), inf)
+        left = jnp.concatenate([pad, prevf[..., :-1]], -1)
+        right = jnp.concatenate([prevf[..., 1:], pad], -1)
+        agg = jnp.minimum(jnp.minimum(prevf, m + P2),
+                          jnp.minimum(left + P1, right + P1))
+    else:
+        delta = jnp.abs(dd[:, None] - dd[None, :])
+        pen = jnp.where(delta == 1, P1, jnp.where(delta > 1, P2, 0.0))
+        agg = jnp.min(prevf[..., None, :] + pen, axis=-1)
+    agg = agg + jnp.where(j[..., None] + dd >= W, Pout, 0.0)
+    adj = jnp.where(jnp.isfinite(agg) & jnp.isfinite(m), agg - m, 0.0)
+    return base + adj, adj
+
+
 def _cost_mode_pass(cv: jnp.ndarray, ii, jj, active, P1: float, P2: float,
                     Pout: float) -> jnp.ndarray:
     """One direction's ``L_dir - cv`` contribution (cost mode), scatter-added
     into a zero volume."""
     H, W, D = cv.shape
     L, T = ii.shape
-    inf = jnp.float32(jnp.inf)
 
     lines_cv = cv[ii, jj, :]          # (L, T, D) gather
     lines_j = jnp.asarray(jj)
     lines_active = jnp.asarray(active)
 
-    dd = jnp.arange(D, dtype=jnp.int32)
-    exact_o1 = P2 >= P1  # O(D) shortcut validity
-
     def step(prev, xs):
         base, j_col = xs                       # (L, D), (L,)
-        prevf = jnp.where(jnp.isfinite(prev), prev, inf)
-        m = jnp.min(prevf, axis=-1, keepdims=True)           # (L, 1)
-        if exact_o1:
-            left = jnp.concatenate([jnp.full((L, 1), inf), prevf[:, :-1]], -1)
-            right = jnp.concatenate([prevf[:, 1:], jnp.full((L, 1), inf)], -1)
-            agg = jnp.minimum(jnp.minimum(prevf, m + P2),
-                              jnp.minimum(left + P1, right + P1))
-        else:
-            delta = jnp.abs(dd[:, None] - dd[None, :])
-            pen = jnp.where(delta == 1, P1, jnp.where(delta > 1, P2, 0.0))
-            agg = jnp.min(prevf[:, None, :] + pen[None, :, :], axis=-1)
-        agg = agg + jnp.where(j_col[:, None] + dd[None, :] >= W, Pout, 0.0)
-        adj = jnp.where(jnp.isfinite(agg) & jnp.isfinite(m), agg - m, 0.0)
-        cur = base + adj
+        cur, adj = _line_recurrence(prev, base, j_col, W, P1, P2, Pout)
         return cur, adj
 
     xs = (jnp.moveaxis(lines_cv, 1, 0), jnp.moveaxis(

@@ -1,0 +1,105 @@
+"""Multi-chip parity: the sharded pipelines must match single-chip outputs
+bit-for-bit on an 8-device virtual CPU mesh."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.sharding import PartitionSpec as P
+import pytest
+
+from libstevi_tpu.core import (MatchingFunction, ExtractionStrategy, MATCH_TRAITS)
+from libstevi_tpu.ops import (unfold_based_cost_volume, extract_selected_index,
+                              sgm_cost_volume)
+from libstevi_tpu.parallel import (make_stereo_mesh, MeshSpec,
+                                   distributed_cost_volume_wta,
+                                   distributed_dense_stereo_step,
+                                   dshard_wta, distributed_sgm)
+from libstevi_tpu.parallel.stereo import distributed_full_step
+
+pytestmark = pytest.mark.skipif(len(jax.devices()) < 8,
+                                reason="needs 8 virtual devices")
+
+H, W, D = 32, 24, 8
+
+
+def _pair(rng):
+    l = rng.uniform(0.1, 1, (H, W)).astype(np.float32)
+    r = rng.uniform(0.1, 1, (H, W)).astype(np.float32)
+    return jnp.asarray(l), jnp.asarray(r)
+
+
+def test_row_sharded_cv_wta_matches_single_chip(rng):
+    mesh = make_stereo_mesh(MeshSpec(tile=4), jax.devices()[:4])
+    img_l, img_r = _pair(rng)
+    fn = distributed_cost_volume_wta(mesh, MatchingFunction.ZNCC, 2, 2, D)
+    got = np.asarray(fn(img_l, img_r))
+    cv = unfold_based_cost_volume(MatchingFunction.ZNCC, img_l, img_r, 2, 2, D,
+                                  backend="box")
+    want = np.asarray(extract_selected_index(cv, ExtractionStrategy.SCORE))
+    np.testing.assert_array_equal(got, want)
+
+
+def test_distributed_sgm_matches_single_chip(rng):
+    mesh = make_stereo_mesh(MeshSpec(tile=4), jax.devices()[:4])
+    cv = rng.uniform(0, 1, (H, W, D)).astype(np.float32)
+
+    fn = jax.jit(jax.shard_map(
+        lambda c: distributed_sgm(c, 0.1, 0.4, axis_name="tile"),
+        mesh=mesh, in_specs=P("tile",), out_specs=P("tile",)))
+    got = np.asarray(fn(jnp.asarray(cv)))
+    want = np.asarray(sgm_cost_volume(jnp.asarray(cv), 0.1, 0.4,
+                                      n_directions=4))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
+
+def test_dshard_wta_matches_single_chip(rng):
+    mesh = make_stereo_mesh(MeshSpec(dsh=4), jax.devices()[:4])
+    cv = rng.integers(0, 4, (H, W, D)).astype(np.float32)  # many ties
+
+    # output is genuinely replicated after the all_gather reduction, but the
+    # vma checker cannot infer that — disable it
+    fn = jax.jit(jax.shard_map(
+        lambda c: dshard_wta(c, ExtractionStrategy.COST),
+        mesh=mesh, in_specs=P(None, None, "dsh"), out_specs=P(None, None),
+        check_vma=False))
+    got = np.asarray(fn(jnp.asarray(cv)))
+    want = np.asarray(extract_selected_index(jnp.asarray(cv),
+                                             ExtractionStrategy.COST))
+    np.testing.assert_array_equal(got, want)
+
+
+def test_full_step_batch_tile(rng):
+    mesh = make_stereo_mesh(MeshSpec(batch=2, tile=4), jax.devices())
+    B = 2
+    ls = rng.uniform(0.1, 1, (B, H, W)).astype(np.float32)
+    rs = rng.uniform(0.1, 1, (B, H, W)).astype(np.float32)
+    fn = distributed_dense_stereo_step(mesh, MatchingFunction.CENSUS,
+                                       2, 2, D, 2.0, 8.0)
+    got = np.asarray(fn(jnp.asarray(ls), jnp.asarray(rs)))
+    assert got.shape == (B, H, W)
+
+    for b in range(B):
+        cv = unfold_based_cost_volume(MatchingFunction.CENSUS,
+                                      jnp.asarray(ls[b]), jnp.asarray(rs[b]),
+                                      2, 2, D)
+        sgm = sgm_cost_volume(cv, 2.0, 8.0, n_directions=4)
+        want = np.asarray(extract_selected_index(sgm, ExtractionStrategy.COST))
+        np.testing.assert_array_equal(got[b], want)
+
+
+def test_full_step_three_axis_mesh(rng):
+    """batch x tile x dsh: D-sharded ZNCC CV + relayed SGM must match the
+    single-chip pipeline."""
+    mesh = make_stereo_mesh(MeshSpec(batch=2, tile=2, dsh=2), jax.devices())
+    B = 2
+    ls = rng.uniform(0.1, 1, (B, H, W)).astype(np.float32)
+    rs = rng.uniform(0.1, 1, (B, H, W)).astype(np.float32)
+    fn = distributed_full_step(mesh, MatchingFunction.ZNCC, 2, 2, D, 0.1, 0.4)
+    got = np.asarray(fn(jnp.asarray(ls), jnp.asarray(rs)))
+    for b in range(B):
+        cv = unfold_based_cost_volume(MatchingFunction.ZNCC,
+                                      jnp.asarray(ls[b]), jnp.asarray(rs[b]),
+                                      2, 2, D, backend="box")
+        sgm = sgm_cost_volume(-cv, 0.1, 0.4, n_directions=4)
+        want = np.asarray(extract_selected_index(sgm, ExtractionStrategy.COST))
+        np.testing.assert_array_equal(got[b], want)

@@ -1,0 +1,80 @@
+"""SGM parity tests against the sequential O(D^2) oracle."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from libstevi_tpu.core import ExtractionStrategy, Margins
+from libstevi_tpu.ops import sgm_cost_volume
+
+import oracles
+
+H, W, D = 11, 13, 5
+
+
+def _cv(rng, h=H, w=W, d=D):
+    return rng.uniform(0, 1, (h, w, d)).astype(np.float32)
+
+
+@pytest.mark.parametrize("n_dirs", [4, 8, 16])
+def test_cost_mode_matches_oracle(rng, n_dirs):
+    cv = _cv(rng)
+    got = np.asarray(sgm_cost_volume(jnp.asarray(cv), 0.1, 0.4,
+                                     n_directions=n_dirs))
+    want = oracles.sgm_oracle(cv, 0.1, 0.4, True, n_dirs)
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
+@pytest.mark.parametrize("n_dirs", [4, 8])
+def test_score_mode_matches_oracle(rng, n_dirs):
+    cv = _cv(rng)
+    got = np.asarray(sgm_cost_volume(jnp.asarray(cv), 0.1, 0.4,
+                                     n_directions=n_dirs,
+                                     strategy=ExtractionStrategy.SCORE))
+    want = oracles.sgm_oracle(cv, 0.1, 0.4, False, n_dirs)
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
+def test_margins(rng):
+    cv = _cv(rng)
+    m = Margins(2, 1, 2, 1)
+    got = np.asarray(sgm_cost_volume(jnp.asarray(cv), 0.2, 0.6,
+                                     margins=m, n_directions=4))
+    want = oracles.sgm_oracle(cv, 0.2, 0.6, True, 4, margins=(2, 1, 2, 1))
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+    # outside the margins the volume is untouched
+    np.testing.assert_array_equal(got[:1], cv[:1])
+    np.testing.assert_array_equal(got[:, :2], cv[:, :2])
+
+
+def test_pout_penalty_on_out_of_image_disparities(rng):
+    # W < D so high disparity indices trigger j + nd >= W
+    cv = _cv(rng, h=6, w=4, d=6)
+    got = np.asarray(sgm_cost_volume(jnp.asarray(cv), 0.1, 0.3, Pout=5.0,
+                                     n_directions=4))
+    want = oracles.sgm_oracle(cv, 0.1, 0.3, True, 4, Pout=5.0)
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
+def test_p2_less_than_p1_dense_fallback(rng):
+    cv = _cv(rng)
+    got = np.asarray(sgm_cost_volume(jnp.asarray(cv), 0.5, 0.2,
+                                     n_directions=4))
+    want = oracles.sgm_oracle(cv, 0.5, 0.2, True, 4)
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
+def test_smoothing_pulls_outlier_toward_neighbors():
+    """A flat-disparity scene with one noisy pixel: SGM must fix the WTA."""
+    rng = np.random.default_rng(3)
+    H2, W2, D2 = 16, 16, 6
+    cv = rng.uniform(0.4, 0.6, (H2, W2, D2)).astype(np.float32)
+    cv[:, :, 2] = 0.1   # true disparity = 2 everywhere
+    cv[8, 8, 2] = 0.9
+    cv[8, 8, 5] = 0.0   # noisy winner at 5
+    wta_before = int(np.argmin(cv[8, 8]))
+    sgm = np.asarray(sgm_cost_volume(jnp.asarray(cv), 0.3, 1.0,
+                                     n_directions=8))
+    wta_after = int(np.argmin(sgm[8, 8]))
+    assert wta_before == 5
+    assert wta_after == 2
