@@ -1,0 +1,197 @@
+"""PatchMatch stereo (1-D) and image-flow (2-D) correspondence search.
+
+Reference parity: `correlation/patchmatch.h` — `randomDispInit` (:58 uniform
+init over the search range), `patchMatchTestCost` (:168; ties ACCEPT the
+candidate), `patchMatchPropagate` (:373: per-iteration direction cycling
+over the four diagonal sweeps, row scans then column scans, each sequential
+along its axis and parallel across lines), `patchMatchSearch` (:234:
+nRandomSearch uniform candidates scaled toward the current solution by
+(k+1)/(nSearch+1), forced off the current value), `patchMatchImpl` (:450).
+
+TPU design: the reference's lazily-memoized on-demand cost volume
+(`on_demand_cost_volume.h:105-181`) does not map to SPMD — costs are
+recomputed per evaluation (the cacheless variant's semantics; FLOPs are
+cheap on TPU) from dense normalized feature volumes.  Row/column sweeps are
+`lax.scan`s along the scan axis carrying the updated line, vectorized across
+the perpendicular axis; random search evaluates all pixels' candidates in
+parallel with `jax.random`.  The RNG is counter-based (`jax.random`) rather
+than the reference's per-thread engines, so parity is statistical (same
+convergence quality), not bitwise.
+"""
+
+from __future__ import annotations
+
+from typing import Union
+
+import jax
+import jax.numpy as jnp
+
+from ..core.types import (MatchingFunction, MATCH_TRAITS, ExtractionStrategy,
+                          disp_dtype)
+from ..core.search import SearchOffset1, SearchOffset2
+from .matching import feature_comparison
+
+
+def _better(traits, cand_cost, cur_cost):
+    """Candidate acceptance: ties accept (`patchmatch.h:210-218`)."""
+    if traits.strategy is ExtractionStrategy.SCORE:
+        return cand_cost >= cur_cost
+    return cand_cost <= cur_cost
+
+
+class _StereoEval:
+    """cost(i, j, d) = compare(source[i, j], target[i, j + d]); invalid
+    target positions evaluate to None in the reference (candidate rejected)
+    — here a worst-cost sentinel."""
+
+    def __init__(self, func, source_fv, target_fv):
+        self.func = func
+        self.traits = MATCH_TRAITS[func]
+        self.source = source_fv
+        self.target = target_fv
+        self.worst = (jnp.inf if self.traits.strategy is ExtractionStrategy.COST
+                      else -jnp.inf)
+
+    def cost_cols(self, j, d_col):
+        """Costs for one column j of source pixels with per-row disparities
+        d_col (H,)."""
+        H, W, F = self.target.shape
+        tgt_j = j + d_col
+        inb = (tgt_j >= 0) & (tgt_j < W)
+        tj = jnp.clip(tgt_j, 0, W - 1)
+        tgt = self.target[jnp.arange(H), tj]            # (H, F)
+        c = feature_comparison(self.func, self.source[:, j, :], tgt)
+        return jnp.where(inb, c, self.worst)
+
+    def cost_field(self, d: jnp.ndarray):
+        """Costs for a full (H, W) disparity field."""
+        H, W, F = self.target.shape
+        jj = jnp.arange(W, dtype=jnp.int32)[None, :]
+        tgt_j = jj + d
+        inb = (tgt_j >= 0) & (tgt_j < W)
+        tj = jnp.clip(tgt_j, 0, W - 1)
+        tgt = jnp.take_along_axis(self.target, tj[..., None], axis=1)
+        c = feature_comparison(self.func, self.source, tgt)
+        return jnp.where(inb, c, self.worst)
+
+
+def _row_sweep(ev: _StereoEval, disp, cost, forward: bool):
+    """Sequential propagation along columns, all rows in parallel: pixel
+    (i, j) tests the (already updated) disparity of (i, j -+ 1)."""
+    H, W = disp.shape
+    js = jnp.arange(W, dtype=jnp.int32)
+    if not forward:
+        js = jnp.flip(js)
+
+    def step2(state, j):
+        d, c = state                        # (H, W) disparity + cost fields
+        prev_j = jnp.where(forward, j - 1, j + 1)
+        ok = (prev_j >= 0) & (prev_j < W)
+        prev_d = d[:, jnp.clip(prev_j, 0, W - 1)]
+        cand_cost = ev.cost_cols(j, prev_d)
+        accept = ok & _better(ev.traits, cand_cost, c[:, j])
+        d = d.at[:, j].set(jnp.where(accept, prev_d, d[:, j]))
+        c = c.at[:, j].set(jnp.where(accept, cand_cost, c[:, j]))
+        return (d, c), accept.sum()
+
+    (disp, cost), changes = jax.lax.scan(step2, (disp, cost), js)
+    return disp, cost, changes.sum()
+
+
+def _col_sweep(ev: _StereoEval, disp, cost, forward: bool):
+    H, W = disp.shape
+    iis = jnp.arange(H, dtype=jnp.int32)
+    if not forward:
+        iis = jnp.flip(iis)
+
+    def step(state, i):
+        d, c = state
+        prev_i = jnp.where(forward, i - 1, i + 1)
+        ok = (prev_i >= 0) & (prev_i < H)
+        prev_d = d[jnp.clip(prev_i, 0, H - 1), :]
+        # costs for row i with disparities prev_d: use field eval on one row
+        Ht, Wt, F = ev.target.shape
+        jj = jnp.arange(Wt, dtype=jnp.int32)
+        tgt_j = jj + prev_d
+        inb = (tgt_j >= 0) & (tgt_j < Wt)
+        tj = jnp.clip(tgt_j, 0, Wt - 1)
+        tgt = ev.target[i][tj]                     # (W, F)
+        cand_cost = feature_comparison(ev.func, ev.source[i], tgt)
+        cand_cost = jnp.where(inb, cand_cost, ev.worst)
+        accept = ok & _better(ev.traits, cand_cost, c[i, :])
+        d = d.at[i, :].set(jnp.where(accept, prev_d, d[i, :]))
+        c = c.at[i, :].set(jnp.where(accept, cand_cost, c[i, :]))
+        return (d, c), accept.sum()
+
+    (disp, cost), changes = jax.lax.scan(step, (disp, cost), iis)
+    return disp, cost, changes.sum()
+
+
+def _random_search(ev: _StereoEval, disp, cost, search: SearchOffset1,
+                   n_random: int, key):
+    """Geometric-decay random probes (`patchMatchSearch`,
+    `patchmatch.h:234-366`)."""
+    H, W = disp.shape
+    keys = jax.random.split(key, n_random)
+    for k in range(n_random):
+        cand = jax.random.randint(keys[k], (H, W), search.lower,
+                                  search.upper + 1, dtype=disp_dtype)
+        delta = ((cand - disp) * (k + 1)) // (n_random + 1)
+        cand = disp + delta
+        cand = jnp.where(cand == disp, disp + 1, cand)
+        cand_cost = ev.cost_field(cand)
+        accept = _better(ev.traits, cand_cost, cost)
+        disp = jnp.where(accept, cand, disp)
+        cost = jnp.where(accept, cand_cost, cost)
+    return disp, cost
+
+
+# the four diagonal sweep direction pairs, cycled per iteration
+# (`utils/propagation_direction.h:27-90`): (row forward?, col forward?)
+_SWEEP_DIRS = [(True, True), (False, True), (True, False), (False, False)]
+
+
+def patch_match_stereo(func: MatchingFunction, source_fv: jnp.ndarray,
+                       target_fv: jnp.ndarray, search: SearchOffset1,
+                       n_iter: int = 5, n_random: int = 4,
+                       key: jax.Array | None = None) -> jnp.ndarray:
+    """1-D PatchMatch: returns the (H, W) disparity field (index-space, i.e.
+    target at ``j + d``).  Feature volumes must be normalized for ``func``
+    (`cachelessPatchMatch`, `patchmatch.h:561`).
+    """
+    if key is None:
+        key = jax.random.PRNGKey(0)
+    ev = _StereoEval(func, source_fv, target_fv)
+    H, W, _ = source_fv.shape
+
+    key, k0 = jax.random.split(key)
+    disp = jax.random.randint(k0, (H, W), search.lower, search.upper + 1,
+                              dtype=disp_dtype)
+    cost = ev.cost_field(disp)
+
+    for it in range(n_iter):
+        row_fwd, col_fwd = _SWEEP_DIRS[it % 4]
+        disp, cost, _ = _row_sweep(ev, disp, cost, row_fwd)
+        disp, cost, _ = _col_sweep(ev, disp, cost, col_fwd)
+        key, ks = jax.random.split(key)
+        disp, cost = _random_search(ev, disp, cost, search, n_random, ks)
+    return disp
+
+
+def patch_match(func: MatchingFunction, img_or_fv_l, img_or_fv_r,
+                search: SearchOffset1, h_radius: int | None = None,
+                v_radius: int | None = None, n_iter: int = 5,
+                n_random: int = 4, key=None) -> jnp.ndarray:
+    """Convenience wrapper from raw images (`patchMatch`,
+    `patchmatch.h:497`): unfold + normalize + run.  RIGHT_TO_LEFT roles
+    (source = right)."""
+    from .unfold import unfold
+    from .cost_volume import normalize_feature_volume
+    if h_radius is not None:
+        fv_l = normalize_feature_volume(func, unfold(h_radius, v_radius,
+                                                     img_or_fv_l))
+        fv_r = normalize_feature_volume(func, unfold(h_radius, v_radius,
+                                                     img_or_fv_r))
+    else:
+        fv_l, fv_r = img_or_fv_l, img_or_fv_r
+    return patch_match_stereo(func, fv_r, fv_l, search, n_iter, n_random, key)

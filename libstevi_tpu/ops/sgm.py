@@ -6,9 +6,10 @@ vectors, giving knight-move lines), per-line DP recurrence with P1 (|delta d|
 = 1), P2 (|delta d| > 1), Pout (disparity index pointing out of image:
 ``j + nd >= W``), min-normalization by the previous pixel's best cost, and
 per-direction accumulation ``sgm_cv += L_dir - cv_base`` starting from
-``sgm_cv = cv_base`` (:298-300,361-404).  Lines start on the region edges
-exactly as `addDirectionalCost` enumerates them (:329-355), including the
-double-covered corner/edge starts.
+``sgm_cv = cv_base`` (:298-300,361-404).  Line starts follow
+`addDirectionalCost` (:329-355) including the double-covered corner starts of
+the diagonal directions (the corner line is enumerated by both start blocks
+and therefore contributes twice).
 
 Documented deviations from the reference:
   * `sgm.h:331,345` starts reverse (EndPos) lines one past the last in-bounds
@@ -20,14 +21,24 @@ Documented deviations from the reference:
     cost-mode SGM to ``2*c - min(prev)``.  We implement the correct recurrence
     (the mirror of the reference's Score branch, which is correct).
 
-TPU design: per direction, a static numpy index map (lines x steps) turns the
-scanline recurrence into a gather -> `lax.scan` over the step axis (all lines
-advance in lockstep, vectorized over lines x disparities on the VPU) -> masked
-scatter-add.  The O(D^2) inner min collapses to O(D): ``min(prev[d],
-prev[d-1]+P1, prev[d+1]+P1, min(prev)+P2)``, exact whenever P2 >= P1 (if
-P2 < P1 we fall back to the dense penalty matrix).  Score mode reuses the
-cost-mode engine on the negated volume.  Cross-tile carry exchange for the
-distributed version lives in `libstevi_tpu.parallel.sgm_dist`.
+TPU design — three gather-free pass groups:
+  * horizontal (L2R + R2L): one `lax.scan` over columns, lines = rows of the
+    forward block stacked with the column-flipped block;
+  * vertical (U2D + D2U): same with the volume transposed;
+  * diagonal (the four (+-1, +-1) directions): each row is shifted by +-1
+    per row with the pad-flatten-reshape shear trick, turning diagonals into
+    columns — pure layout changes XLA lowers to copies, NO gathers — then
+    scanned like the vertical group; the inverse shear is the mirrored
+    reshape.  The double-covered corner line is doubled with a one-hot
+    multiply instead of a scatter.
+
+The O(D^2) inner min collapses to O(D) (``min(prev[d], prev[d+-1]+P1,
+min(prev)+P2)``), exact whenever P2 >= P1; the dense penalty matrix is the
+fallback.  Score mode reuses the cost-mode engine on the negated volume.  The
+8 knight-move directions of the 16-direction set use a generic index-map
+gather path (they have no reshape-friendly layout); prefer n_directions=8 on
+the hot path.  Cross-tile carry exchange for the distributed version lives in
+`libstevi_tpu.parallel.sgm_dist`.
 """
 
 from __future__ import annotations
@@ -65,44 +76,208 @@ class SgmDirection(enum.Enum):
     DOWNLEFT2UP = ((-1, -1), (0, 1))
 
 
-_DIRS_4 = [SgmDirection.UP2DOWN, SgmDirection.DOWN2UP,
-           SgmDirection.LEFT2RIGHT, SgmDirection.RIGHT2LEFT]
-_DIRS_8 = _DIRS_4 + [SgmDirection.UPLEFT2DOWNRIGHT, SgmDirection.DOWNRIGHT2UPLEFT,
-                     SgmDirection.UPRIGHT2DOWNLEFT, SgmDirection.DOWNLEFT2UPRIGHT]
-_DIRS_16 = _DIRS_8 + [SgmDirection.UPLEFT2DOWN, SgmDirection.DOWNRIGHT2UP,
-                      SgmDirection.UPRIGHT2DOWN, SgmDirection.DOWNLEFT2UP,
-                      SgmDirection.UPLEFT2RIGHT, SgmDirection.DOWNRIGHT2LEFT,
-                      SgmDirection.UPRIGHT2LEFT, SgmDirection.DOWNLEFT2RIGHT]
+_KNIGHT_DIRS = [SgmDirection.UPLEFT2DOWN, SgmDirection.DOWNRIGHT2UP,
+                SgmDirection.UPRIGHT2DOWN, SgmDirection.DOWNLEFT2UP,
+                SgmDirection.UPLEFT2RIGHT, SgmDirection.DOWNRIGHT2LEFT,
+                SgmDirection.UPRIGHT2LEFT, SgmDirection.DOWNLEFT2RIGHT]
 
 
 def directions_for(n_directions: int):
-    if n_directions == 4:
-        return _DIRS_4
-    if n_directions == 8:
-        return _DIRS_8
-    if n_directions == 16:
-        return _DIRS_16
-    raise ValueError("SGM operates with 4, 8 or 16 directions")
+    if n_directions not in (4, 8, 16):
+        raise ValueError("SGM operates with 4, 8 or 16 directions")
+    dirs = [SgmDirection.UP2DOWN, SgmDirection.DOWN2UP,
+            SgmDirection.LEFT2RIGHT, SgmDirection.RIGHT2LEFT]
+    if n_directions >= 8:
+        dirs += [SgmDirection.UPLEFT2DOWNRIGHT, SgmDirection.DOWNRIGHT2UPLEFT,
+                 SgmDirection.UPRIGHT2DOWNLEFT, SgmDirection.DOWNLEFT2UPRIGHT]
+    if n_directions >= 16:
+        dirs += _KNIGHT_DIRS
+    return dirs
 
+
+# ---------------------------------------------------------------------------
+# DP recurrence
+# ---------------------------------------------------------------------------
+
+def _line_recurrence(prev: jnp.ndarray, base: jnp.ndarray, j: jnp.ndarray,
+                     W: int, P1: float, P2: float, Pout: float):
+    """One DP step of the (cost-mode) SGM recurrence, vectorized over leading
+    line axes: prev/base are (..., D), j is (...,) column coordinates for the
+    Pout out-of-image test (`sgm.h:230-300`).  Returns (cur, adj) with
+    cur = base + adj the new carry and adj the ``actual - base`` contribution.
+    """
+    D = base.shape[-1]
+    inf = jnp.float32(jnp.inf)
+    dd = jnp.arange(D, dtype=jnp.int32)
+    prevf = jnp.where(jnp.isfinite(prev), prev, inf)
+    m = jnp.min(prevf, axis=-1, keepdims=True)
+    if P2 >= P1:
+        pad = jnp.full(prevf.shape[:-1] + (1,), inf)
+        left = jnp.concatenate([pad, prevf[..., :-1]], -1)
+        right = jnp.concatenate([prevf[..., 1:], pad], -1)
+        agg = jnp.minimum(jnp.minimum(prevf, m + P2),
+                          jnp.minimum(left + P1, right + P1))
+    else:
+        delta = jnp.abs(dd[:, None] - dd[None, :])
+        pen = jnp.where(delta == 1, P1, jnp.where(delta > 1, P2, 0.0))
+        agg = jnp.min(prevf[..., None, :] + pen, axis=-1)
+    agg = agg + jnp.where(j[..., None] + dd >= W, Pout, 0.0)
+    adj = jnp.where(jnp.isfinite(agg) & jnp.isfinite(m), agg - m, 0.0)
+    return base + adj, adj
+
+
+def _scan_adj(blocks: jnp.ndarray, jmaps: jnp.ndarray, valid, W: int,
+              P1: float, P2: float, Pout: float) -> jnp.ndarray:
+    """Run the recurrence along axis 1 of (L, T, D) line blocks; `valid`
+    (L, T) masks padded steps (carry resets to the line-start state there).
+    Returns adj (L, T, D)."""
+    L, T, D = blocks.shape
+
+    def step(prev, xs):
+        if valid is None:
+            base, j = xs
+            cur, adj = _line_recurrence(prev, base, j, W, P1, P2, Pout)
+        else:
+            base, j, v = xs
+            cur, adj = _line_recurrence(prev, base, j, W, P1, P2, Pout)
+            cur = jnp.where(v[:, None], cur, 0.0)
+            adj = jnp.where(v[:, None], adj, 0.0)
+        return cur, adj
+
+    xs = (jnp.moveaxis(blocks, 1, 0), jmaps.T)
+    if valid is not None:
+        xs = xs + (jnp.asarray(valid).T,)
+    init = jnp.zeros_like(blocks[:, 0, :])
+    _, adjs = jax.lax.scan(step, init, xs)
+    return jnp.moveaxis(adjs, 0, 1)
+
+
+# ---------------------------------------------------------------------------
+# Gather-free pass groups (zero-margin region volumes)
+# ---------------------------------------------------------------------------
+
+def _horizontal_group(cv, ml, P1, P2, Pout, W):
+    """LEFT2RIGHT + RIGHT2LEFT in one scan over columns."""
+    H1, W1, D = cv.shape
+    jrow = jnp.broadcast_to(ml + jnp.arange(W1, dtype=jnp.int32), (H1, W1))
+    blocks = jnp.concatenate([cv, jnp.flip(cv, 1)], 0)
+    jmaps = jnp.concatenate([jrow, jnp.flip(jrow, 1)], 0)
+    adj = _scan_adj(blocks, jmaps, None, W, P1, P2, Pout)
+    return adj[:H1] + jnp.flip(adj[H1:], 1)
+
+
+def _vertical_group(cv, ml, P1, P2, Pout, W):
+    """UP2DOWN + DOWN2UP: transpose so lines are columns."""
+    H1, W1, D = cv.shape
+    cvt = jnp.swapaxes(cv, 0, 1)                 # (W1, H1, D)
+    jmap = jnp.broadcast_to((ml + jnp.arange(W1, dtype=jnp.int32))[:, None],
+                            (W1, H1))
+    blocks = jnp.concatenate([cvt, jnp.flip(cvt, 1)], 0)
+    jmaps = jnp.concatenate([jmap, jmap], 0)
+    adj = _scan_adj(blocks, jmaps, None, W, P1, P2, Pout)
+    out = adj[:W1] + jnp.flip(adj[W1:], 1)
+    return jnp.swapaxes(out, 0, 1)
+
+
+def _shear_pos(cv):
+    """S[i, c] = cv[i, c - (H-1) + i] — down-right diagonals become columns.
+    Pure pad + flatten + reshape (no gather); width Wd+1 where
+    Wd = W + H - 1 (the final column alias-reads and is masked)."""
+    H1, W1, D = cv.shape
+    Wd = W1 + H1 - 1
+    P = jnp.pad(cv, ((0, 0), (H1 - 1, 0), (0, 0)))          # (H1, Wd, D)
+    flat = P.reshape(H1 * Wd, D)
+    flat = jnp.pad(flat, ((0, H1), (0, 0)))
+    return flat.reshape(H1, Wd + 1, D)                       # S[i, c]=P[i, c+i]
+
+
+def _unshear_pos(S, H1, W1):
+    """Inverse of `_shear_pos` restricted to valid image positions."""
+    D = S.shape[-1]
+    Wd = W1 + H1 - 1
+    flat = S.reshape(H1 * (Wd + 1), D)[: H1 * Wd]
+    P = flat.reshape(H1, Wd, D)                              # P[i, m]=S[i, m-i]
+    return P[:, H1 - 1:H1 - 1 + W1, :]
+
+
+def _shear_neg(cv):
+    """S[i, c] = cv[i, c - i] — down-left diagonals become columns."""
+    H1, W1, D = cv.shape
+    Wd = W1 + H1 - 1
+    P = jnp.pad(cv, ((0, 0), (0, Wd + 1 - W1), (0, 0)))      # width Wd+1
+    flat = P.reshape(H1 * (Wd + 1), D)[: H1 * Wd]
+    return flat.reshape(H1, Wd, D)                           # S[i, c]=P[i, c-i]
+
+
+def _unshear_neg(S, H1, W1):
+    D = S.shape[-1]
+    Wd = W1 + H1 - 1
+    flat = S.reshape(H1 * Wd, D)
+    flat = jnp.pad(flat, ((0, H1), (0, 0)))
+    Q = flat.reshape(H1, Wd + 1, D)                          # Q[i, m]=S[i, m+i]
+    return Q[:, :W1, :]
+
+
+def _diagonal_group(cv, ml, P1, P2, Pout, W):
+    """The four (+-1, +-1) directions via shears, one scan over rows, with the
+    reference's double-covered corner lines doubled by a one-hot multiply."""
+    H1, W1, D = cv.shape
+    Wd = W1 + H1 - 1
+
+    ii = jax.lax.broadcasted_iota(jnp.int32, (H1, Wd + 1), 0)
+    cc = jax.lax.broadcasted_iota(jnp.int32, (H1, Wd + 1), 1)
+
+    # down-right family: img j = c - (H1-1) + i
+    Sp = _shear_pos(cv)                                      # (H1, Wd+1, D)
+    jp = ml + cc - (H1 - 1) + ii
+    vp = (jp >= ml) & (jp < ml + W1)
+    # down-left family: img j = c - i  (width Wd)
+    Sn = _shear_neg(cv)
+    ccn = cc[:, :Wd]
+    jn = ml + ccn - ii[:, :Wd]
+    vn = (jn >= ml) & (jn < ml + W1)
+
+    def run(S, jmap, vmap, corner_fwd, corner_bwd):
+        Hs, Ws, _ = S.shape
+        blocks = jnp.concatenate([S, jnp.flip(S, 0)], 1)     # lines=columns
+        blocks = jnp.swapaxes(blocks, 0, 1)                  # (2Ws, Hs, D)
+        jm = jnp.concatenate([jmap, jnp.flip(jmap, 0)], 1).T
+        vm = jnp.concatenate([vmap, jnp.flip(vmap, 0)], 1).T
+        adj = _scan_adj(blocks, jm, vm, W, P1, P2, Pout)     # (2Ws, Hs, D)
+        fwd = jnp.swapaxes(adj[:Ws], 0, 1)                   # (Hs, Ws, D)
+        bwd = jnp.flip(jnp.swapaxes(adj[Ws:], 0, 1), 0)
+        # double the corner-start lines (reference enumerates them twice)
+        one_f = (jnp.arange(Ws) == corner_fwd).astype(jnp.float32)
+        one_b = (jnp.arange(Ws) == corner_bwd).astype(jnp.float32)
+        fwd = fwd * (1.0 + one_f)[None, :, None]
+        bwd = bwd * (1.0 + one_b)[None, :, None]
+        return fwd + bwd
+
+    # corner columns: UPLEFT2DOWNRIGHT starts (0,0) -> c = H1-1;
+    # DOWNRIGHT2UPLEFT starts (H1-1, W1-1) -> c = W1-1;
+    # UPRIGHT2DOWNLEFT starts (0, W1-1) -> c = W1-1 (c = i+j);
+    # DOWNLEFT2UPRIGHT starts (H1-1, 0) -> c = H1-1.
+    adj_p = run(Sp, jp, vp, H1 - 1, W1 - 1)
+    adj_n = run(Sn, jn, vn, W1 - 1, H1 - 1)
+    return _unshear_pos(adj_p, H1, W1) + _unshear_neg(adj_n, H1, W1)
+
+
+# ---------------------------------------------------------------------------
+# Generic gather path (knight-move directions of the 16-set)
+# ---------------------------------------------------------------------------
 
 @lru_cache(maxsize=None)
 def _build_lines(H: int, W: int, margins: tuple, direction: SgmDirection):
-    """Static (lines, steps) index maps for one direction.
-
-    Returns int32 arrays (ii, jj) of shape (L, T) plus a bool active mask;
-    inactive (trailing) steps are clipped to the last active pixel.  Start
-    positions follow `addDirectionalCost` (`sgm.h:329-355`): for each
-    direction, lines start on the horizontal edge (iterating start rows)
-    and/or the vertical edge (iterating start columns).
-    """
+    """Static (lines, steps) index maps for one direction, following
+    `addDirectionalCost`'s start enumeration (`sgm.h:329-355`)."""
     ml, mt, mr, mb = margins
     sv, sh = direction.value
     starts = []
-    if sh != (0, 0):  # rowStartPos: iterate vertical starts on a column edge
+    if sh != (0, 0):
         sj = ml if (sh[0] >= 0 and sh[1] >= 0) else W - mr - 1
         for si in range(mt, H - mb):
             starts.append((si, sj))
-    if sv != (0, 0):  # colStartPos: iterate horizontal starts on a row edge
+    if sv != (0, 0):
         si = mt if (sv[0] >= 0 and sv[1] >= 0) else H - mb - 1
         for sj in range(ml, W - mr):
             starts.append((si, sj))
@@ -136,83 +311,91 @@ def _build_lines(H: int, W: int, margins: tuple, direction: SgmDirection):
     return ii, jj, active
 
 
-def _line_recurrence(prev: jnp.ndarray, base: jnp.ndarray, j: jnp.ndarray,
-                     W: int, P1: float, P2: float, Pout: float):
-    """One DP step of the (cost-mode) SGM recurrence, vectorized over leading
-    line axes: prev/base are (..., D), j is (...,) column coordinates for the
-    Pout out-of-image test (`sgm.h:230-300`).  Returns (cur, adj) with
-    cur = base + adj the new carry and adj the ``actual - base`` contribution.
-
-    Uses the O(D) min-shift collapse ``min(prev[d], prev[d+-1]+P1,
-    min(prev)+P2)`` when P2 >= P1 (exact there), else the dense penalty
-    matrix."""
-    D = base.shape[-1]
-    inf = jnp.float32(jnp.inf)
-    dd = jnp.arange(D, dtype=jnp.int32)
-    prevf = jnp.where(jnp.isfinite(prev), prev, inf)
-    m = jnp.min(prevf, axis=-1, keepdims=True)
-    if P2 >= P1:
-        pad = jnp.full(prevf.shape[:-1] + (1,), inf)
-        left = jnp.concatenate([pad, prevf[..., :-1]], -1)
-        right = jnp.concatenate([prevf[..., 1:], pad], -1)
-        agg = jnp.minimum(jnp.minimum(prevf, m + P2),
-                          jnp.minimum(left + P1, right + P1))
-    else:
-        delta = jnp.abs(dd[:, None] - dd[None, :])
-        pen = jnp.where(delta == 1, P1, jnp.where(delta > 1, P2, 0.0))
-        agg = jnp.min(prevf[..., None, :] + pen, axis=-1)
-    agg = agg + jnp.where(j[..., None] + dd >= W, Pout, 0.0)
-    adj = jnp.where(jnp.isfinite(agg) & jnp.isfinite(m), agg - m, 0.0)
-    return base + adj, adj
-
-
 def _cost_mode_pass(cv: jnp.ndarray, ii, jj, active, P1: float, P2: float,
                     Pout: float) -> jnp.ndarray:
-    """One direction's ``L_dir - cv`` contribution (cost mode), scatter-added
-    into a zero volume."""
+    """One direction's contribution via gather + scan + scatter-add (used
+    only for knight-move directions)."""
     H, W, D = cv.shape
     L, T = ii.shape
-
-    lines_cv = cv[ii, jj, :]          # (L, T, D) gather
-    lines_j = jnp.asarray(jj)
-    lines_active = jnp.asarray(active)
-
-    def step(prev, xs):
-        base, j_col = xs                       # (L, D), (L,)
-        cur, adj = _line_recurrence(prev, base, j_col, W, P1, P2, Pout)
-        return cur, adj
-
-    xs = (jnp.moveaxis(lines_cv, 1, 0), jnp.moveaxis(
-        jnp.broadcast_to(lines_j, (L, T)), 1, 0))
-    init = jnp.zeros((L, D), jnp.float32)
-    _, adjs = jax.lax.scan(step, init, xs)     # (T, L, D)
-    adjs = jnp.moveaxis(adjs, 0, 1)            # (L, T, D)
-    adjs = jnp.where(lines_active[..., None], adjs, 0.0)
-
+    lines_cv = cv[ii, jj, :]
+    adjs = _scan_adj(lines_cv, jnp.asarray(jj), jnp.asarray(active), W,
+                     P1, P2, Pout)
     out = jnp.zeros((H, W, D), jnp.float32)
-    return out.at[ii.reshape(-1), jj.reshape(-1)].add(
-        adjs.reshape(L * T, D))
+    return out.at[ii.reshape(-1), jj.reshape(-1)].add(adjs.reshape(L * T, D))
 
+
+# ---------------------------------------------------------------------------
+# Pallas backend dispatch
+# ---------------------------------------------------------------------------
+
+def _pallas_adj(region, ml, P1, P2, Pout, W, n_directions):
+    """All principal-direction contributions via the Pallas kernel
+    (`sgm_pallas.py`): vertical on the volume, horizontal on its transpose,
+    diagonals on the sheared layouts."""
+    from .sgm_pallas import sgm_direction_pair
+    H1, W1, D = region.shape
+
+    def run(vol, shear, cf=None, cb=None):
+        return sgm_direction_pair(vol, W_img=W1, W_pout=W, ml=ml, P1=P1,
+                                  P2=P2, Pout=Pout, shear=shear,
+                                  corner_fwd=cf, corner_bwd=cb)
+
+    adj = run(region, "none")
+    cvt = jnp.swapaxes(region, 0, 1)
+    adj = adj + jnp.swapaxes(run(cvt, "step"), 0, 1)
+    if n_directions >= 8:
+        adj = adj + _unshear_pos(
+            run(_shear_pos(region), "pos", H1 - 1, W1 - 1), H1, W1)
+        adj = adj + _unshear_neg(
+            run(_shear_neg(region), "neg", W1 - 1, H1 - 1), H1, W1)
+    return adj
+
+
+# ---------------------------------------------------------------------------
+# Public entry
+# ---------------------------------------------------------------------------
 
 def sgm_cost_volume(cv: jnp.ndarray, P1: float, P2: float,
                     margins: Margins = Margins(), Pout: float = 100.0,
                     n_directions: int = 8,
-                    strategy: ExtractionStrategy = ExtractionStrategy.COST
-                    ) -> jnp.ndarray:
+                    strategy: ExtractionStrategy = ExtractionStrategy.COST,
+                    backend: str = "auto") -> jnp.ndarray:
     """Aggregate a (H, W, D) cost volume along 4/8/16 scanline directions
-    (`sgmCostVolume`, `sgm.h:361-404`).  Returns float32."""
+    (`sgmCostVolume`, `sgm.h:361-404`).  Returns float32.
+
+    ``backend``: 'pallas' (TPU kernel), 'xla' (scan-based), or 'auto'
+    (pallas on TPU, xla elsewhere)."""
+    if n_directions not in (4, 8, 16):
+        raise ValueError("SGM operates with 4, 8 or 16 directions")
+    if backend == "auto":
+        backend = "pallas" if jax.default_backend() == "tpu" else "xla"
     H, W, D = cv.shape
     cv = cv.astype(jnp.float32)
     if strategy is ExtractionStrategy.SCORE:
         return -sgm_cost_volume(-cv, P1, P2, margins, Pout, n_directions,
-                                ExtractionStrategy.COST)
+                                ExtractionStrategy.COST, backend)
 
-    m = (margins.left, margins.top, margins.right, margins.bottom)
-    sgm = cv
-    for direction in directions_for(n_directions):
-        ii, jj, active = _build_lines(H, W, m, direction)
-        if ii.size == 0:
-            continue
-        sgm = sgm + _cost_mode_pass(cv, ii, jj, active, float(P1), float(P2),
-                                    float(Pout))
+    P1, P2, Pout = float(P1), float(P2), float(Pout)
+    ml, mt, mr, mb = margins.left, margins.top, margins.right, margins.bottom
+    region = cv[mt:H - mb if mb else H, ml:W - mr if mr else W, :]
+    if region.shape[0] == 0 or region.shape[1] == 0:
+        return cv
+
+    if backend == "pallas" and P2 >= P1:
+        adj = _pallas_adj(region, ml, P1, P2, Pout, W, n_directions)
+    else:
+        adj = _horizontal_group(region, ml, P1, P2, Pout, W)
+        adj = adj + _vertical_group(region, ml, P1, P2, Pout, W)
+        if n_directions >= 8:
+            adj = adj + _diagonal_group(region, ml, P1, P2, Pout, W)
+
+    sgm = cv + jnp.pad(adj, ((mt, mb), (ml, mr), (0, 0)))
+
+    if n_directions >= 16:
+        m = (ml, mt, mr, mb)
+        for direction in _KNIGHT_DIRS:
+            ii, jj, active = _build_lines(H, W, m, direction)
+            if ii.size == 0:
+                continue
+            sgm = sgm + _cost_mode_pass(cv, ii, jj, active, P1, P2, Pout)
     return sgm
