@@ -1,0 +1,71 @@
+"""Least-median-of-absolute-residuals (LMedS) solvers.
+
+Reference parity: `optimization/leastmedianoptimization.h` —
+`leastAbsoluteMedian` (:38,119: enumerate dimsIn-element subsets via
+`ChooseInSetIndexer`, solve each exactly, keep the solution with the lowest
+median absolute residual) and `affineBestLeastMedianApproximation`
+(:180,204; the MEDAD/ZMEDAD barycentric hook, optionally restricted to
+caller-supplied test subsets).
+
+TPU design: subset enumeration is static (itertools at trace time, capped),
+the per-subset exact solves and residual medians are one `vmap` batch — a
+batched small-matrix solve on the MXU instead of the reference's sequential
+loop.
+"""
+
+from __future__ import annotations
+
+import itertools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+_MAX_SUBSETS = 512
+
+
+def _subsets(n: int, k: int, cap: int = _MAX_SUBSETS) -> np.ndarray:
+    combos = []
+    for i, c in enumerate(itertools.combinations(range(n), k)):
+        if i >= cap:
+            break
+        combos.append(c)
+    return np.asarray(combos, np.int32)
+
+
+def _median_abs(r: jnp.ndarray) -> jnp.ndarray:
+    """Upper median (nth_element at n/2), matching `MedianAbsDiff`."""
+    k = r.shape[-1] // 2
+    return jnp.sort(jnp.abs(r), axis=-1)[..., k]
+
+
+def least_absolute_median(A: jnp.ndarray, b: jnp.ndarray,
+                          subsets: np.ndarray | None = None) -> jnp.ndarray:
+    """argmin_x median(|Ax - b|) by exact subset solves
+    (`leastAbsoluteMedian`, `leastmedianoptimization.h:38-178`)."""
+    n, k = A.shape
+    if subsets is None:
+        subsets = _subsets(n, k)
+    idx = jnp.asarray(subsets)
+
+    def solve_subset(sub):
+        As = A[sub]
+        bs = b[sub]
+        x = jnp.linalg.solve(As + 1e-12 * jnp.eye(k), bs)
+        return x, _median_abs(A @ x - b)
+
+    xs, meds = jax.vmap(solve_subset)(idx)
+    best = jnp.argmin(meds)
+    return xs[best]
+
+
+def affine_best_least_median_approximation(A: jnp.ndarray, b: jnp.ndarray,
+                                           subsets: np.ndarray | None = None
+                                           ) -> jnp.ndarray:
+    """LMedS with the sum(x) == 1 constraint
+    (`affineBestLeastMedianApproximation`,
+    `leastmedianoptimization.h:180-221`)."""
+    from .lsq import _affine_parts, _full_coeffs
+    M, b0 = _affine_parts(A)
+    alpha = least_absolute_median(M, b - b0, subsets)
+    return _full_coeffs(alpha)
