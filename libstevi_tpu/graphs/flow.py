@@ -1,0 +1,66 @@
+"""Max-flow / min-cut.
+
+Reference parity: `graphs/graph_flow.h:48` (`maxFlowMinCut`: augmenting-path
+max-flow returning the flow value and the cut edge set) and
+`graphs/graph_cut.h:33` (`reachableVerticesInCut`).
+
+Design: generic graphs run scipy's preflow-push (`maximum_flow`, exact for
+integer capacities; float capacities are scaled and rounded — documented).
+This is host-side control flow by design; the dense grid-graph consumer
+(foreground segmentation) has a TPU path in
+`imageproc.foreground_segmentation`.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+
+
+@dataclass
+class MaxFlowResult:
+    max_flow: float
+    source_side: np.ndarray      # bool mask over vertices
+    cut_edges: list              # [(u, v)] saturated edges crossing the cut
+
+
+def max_flow_min_cut(n_vertices: int, edges, capacities, source: int,
+                     sink: int, scale: float = 1e6) -> MaxFlowResult:
+    """edges: (E, 2) int array; capacities: (E,) float.  Directed edges.
+
+    Returns the max-flow value, the source-side vertex mask of the min cut,
+    and the saturated crossing edges."""
+    from scipy.sparse import csr_matrix
+    from scipy.sparse.csgraph import maximum_flow
+
+    edges = np.asarray(edges, np.int64)
+    caps = np.asarray(capacities, np.float64)
+    int_caps = np.round(caps * scale).astype(np.int64)
+    graph = csr_matrix((int_caps, (edges[:, 0], edges[:, 1])),
+                       shape=(n_vertices, n_vertices))
+    res = maximum_flow(graph, source, sink)
+
+    # residual capacities; BFS from source over residual > 0
+    residual = graph - res.flow
+    residual = residual.maximum(0) + res.flow.T.maximum(0)
+    reachable = np.zeros(n_vertices, bool)
+    stack = [source]
+    reachable[source] = True
+    residual = residual.tolil()
+    while stack:
+        u = stack.pop()
+        for v, c in zip(residual.rows[u], residual.data[u]):
+            if c > 0 and not reachable[v]:
+                reachable[v] = True
+                stack.append(v)
+
+    cut = [(int(u), int(v)) for (u, v) in edges
+           if reachable[u] and not reachable[v]]
+    return MaxFlowResult(max_flow=res.flow_value / scale,
+                         source_side=reachable, cut_edges=cut)
+
+
+def reachable_vertices_in_cut(result: MaxFlowResult) -> np.ndarray:
+    """Source-side vertices of the min cut (`graph_cut.h:33`)."""
+    return result.source_side

@@ -1,0 +1,182 @@
+"""Image-processing layer tests."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from libstevi_tpu.imageproc import (
+    convolve_2d, PaddingType, gaussian_blur, finite_difference,
+    rgb_to_gray, rgb_to_hsv, hsv_to_rgb, yuv_to_rgb, normalize_channels,
+    Histogram, otsu_threshold, erosion, dilation, opening, closing,
+    median_filter, circular_structuring_element, connected_components,
+    nearest_neighbor_inpainting, diffusion_inpainting,
+    FourierTransformCalculator, mean_shift_clustering,
+)
+from libstevi_tpu.imageproc.convolutions import PaddingInfos
+from libstevi_tpu.imageproc.connected_components import (relabel_consecutive,
+                                                         cluster_stats)
+
+
+class TestConvolutions:
+    def test_identity_kernel(self, rng):
+        img = rng.uniform(0, 1, (8, 10)).astype(np.float32)
+        k = np.zeros((3, 3), np.float32)
+        k[1, 1] = 1.0
+        pads = (PaddingInfos(1), PaddingInfos(1))
+        got = np.asarray(convolve_2d(jnp.asarray(img), jnp.asarray(k), pads))
+        np.testing.assert_allclose(got, img, atol=1e-6)
+
+    def test_box_kernel_matches_numpy(self, rng):
+        img = rng.uniform(0, 1, (9, 9)).astype(np.float32)
+        k = np.ones((3, 3), np.float32)
+        pads = (PaddingInfos(1), PaddingInfos(1))
+        got = np.asarray(convolve_2d(jnp.asarray(img), jnp.asarray(k), pads))
+        want = np.zeros_like(img)
+        p = np.pad(img, 1)
+        for di in range(3):
+            for dj in range(3):
+                want += p[di:di + 9, dj:dj + 9]
+        np.testing.assert_allclose(got, want, rtol=1e-5)
+
+    def test_mirror_padding(self):
+        img = np.arange(16, dtype=np.float32).reshape(4, 4)
+        k = np.zeros((3, 1), np.float32)
+        k[0, 0] = 1.0  # picks the row above
+        pads = (PaddingInfos(1, mode=PaddingType.MIRROR), PaddingInfos(0))
+        got = np.asarray(convolve_2d(jnp.asarray(img), jnp.asarray(k), pads))
+        np.testing.assert_allclose(got[0], img[1])  # reflect
+
+    def test_gaussian_blur_preserves_mean(self, rng):
+        img = rng.uniform(0, 1, (32, 32)).astype(np.float32)
+        out = np.asarray(gaussian_blur(jnp.asarray(img), 1.5))
+        assert abs(out.mean() - img.mean()) < 1e-2
+        assert out.std() < img.std()
+
+
+class TestColor:
+    def test_hsv_round_trip(self, rng):
+        rgb = rng.uniform(0, 1, (10, 10, 3)).astype(np.float32)
+        back = np.asarray(hsv_to_rgb(rgb_to_hsv(jnp.asarray(rgb))))
+        np.testing.assert_allclose(back, rgb, atol=1e-5)
+
+    def test_gray_weights(self):
+        g = float(rgb_to_gray(jnp.asarray([1.0, 1.0, 1.0])))
+        assert g == pytest.approx(1.0, abs=1e-6)
+
+    def test_yuv_identity_gray(self):
+        rgb = np.asarray(yuv_to_rgb(jnp.asarray([[0.5, 0.5, 0.5]])))
+        np.testing.assert_allclose(rgb, [[0.5, 0.5, 0.5]], atol=1e-6)
+
+    def test_normalize_channels(self, rng):
+        x = rng.uniform(0.1, 1, (5, 5, 3)).astype(np.float32)
+        n = np.asarray(normalize_channels(jnp.asarray(x)))
+        np.testing.assert_allclose(n.sum(-1), 1.0, atol=1e-5)
+
+
+class TestHistogram:
+    def test_counts(self):
+        data = jnp.asarray([0.0, 0.1, 0.9, 1.0])
+        h = Histogram.compute(data, 2, 0.0, 1.0)
+        np.testing.assert_array_equal(np.asarray(h.counts), [2, 2])
+
+    def test_otsu_bimodal(self, rng):
+        data = np.concatenate([rng.normal(0.2, 0.02, 500),
+                               rng.normal(0.8, 0.02, 500)]).astype(np.float32)
+        t = float(otsu_threshold(jnp.asarray(data)))
+        # the between-class variance is flat across the empty gap, so any
+        # threshold separating the modes is a valid argmax
+        assert ((data < t) == (data < 0.5)).mean() > 0.999
+
+
+class TestMorphology:
+    def test_erosion_dilation_duality(self, rng):
+        img = (rng.random((12, 12)) > 0.5).astype(np.float32)
+        e = np.asarray(erosion(jnp.asarray(img), radius=1))
+        d = np.asarray(dilation(jnp.asarray(-img), radius=1))
+        np.testing.assert_allclose(e, -d, atol=1e-6)
+
+    def test_opening_removes_speck(self):
+        img = np.zeros((11, 11), np.float32)
+        img[5, 5] = 1.0  # single-pixel speck
+        img[1:4, 1:8] = 1.0  # solid block survives
+        o = np.asarray(opening(jnp.asarray(img), radius=1))
+        assert o[5, 5] == 0.0
+        assert o[2, 4] == 1.0
+
+    def test_circular_element(self):
+        el = circular_structuring_element(2)
+        assert el[2, 2] and el[0, 2] and not el[0, 0]
+
+    def test_median_filter_removes_salt(self, rng):
+        img = np.full((9, 9), 0.5, np.float32)
+        img[4, 4] = 5.0
+        m = np.asarray(median_filter(jnp.asarray(img), 1))
+        assert m[4, 4] == 0.5
+
+
+class TestConnectedComponents:
+    def test_two_blobs(self):
+        m = np.zeros((10, 10), bool)
+        m[1:3, 1:3] = True
+        m[6:9, 6:9] = True
+        lab, k = relabel_consecutive(connected_components(jnp.asarray(m)))
+        assert k == 2
+        assert len({lab[1, 1], lab[7, 7]}) == 2
+        assert lab[0, 0] == -1
+
+    def test_rook_vs_queen_diagonal(self):
+        m = np.zeros((4, 4), bool)
+        m[0, 0] = m[1, 1] = True
+        _, kq = relabel_consecutive(connected_components(jnp.asarray(m),
+                                                         "queen"))
+        _, kr = relabel_consecutive(connected_components(jnp.asarray(m),
+                                                         "rook"))
+        assert kq == 1 and kr == 2
+
+    def test_stats(self):
+        m = np.zeros((6, 6), bool)
+        m[2:4, 2:4] = True
+        stats = cluster_stats(connected_components(jnp.asarray(m)))
+        assert stats[0]["size"] == 4
+        assert stats[0]["centroid"] == (2.5, 2.5)
+
+
+class TestInpainting:
+    def test_nn_fill_constant_region(self):
+        img = np.ones((8, 8), np.float32) * 3.0
+        mask = np.zeros((8, 8), bool)
+        mask[3:5, 3:5] = True
+        img[mask] = -99.0
+        out = np.asarray(nearest_neighbor_inpainting(jnp.asarray(img),
+                                                     jnp.asarray(mask)))
+        np.testing.assert_allclose(out, 3.0, atol=1e-6)
+
+    def test_diffusion_interpolates_gradient(self):
+        img = np.tile(np.linspace(0, 1, 16, dtype=np.float32), (8, 1))
+        mask = np.zeros((8, 16), bool)
+        mask[:, 6:10] = True
+        corrupted = img.copy()
+        corrupted[mask] = 0.0
+        out = np.asarray(diffusion_inpainting(jnp.asarray(corrupted),
+                                              jnp.asarray(mask), iters=500))
+        np.testing.assert_allclose(out, img, atol=0.02)
+
+
+class TestFourier:
+    def test_round_trip(self, rng):
+        img = rng.uniform(0, 1, (16, 16)).astype(np.float32)
+        f = FourierTransformCalculator()
+        back = np.asarray(f.backward(f.forward(jnp.asarray(img)))).real
+        np.testing.assert_allclose(back, img, atol=1e-5)
+
+
+class TestMeanShift:
+    def test_two_clusters(self, rng):
+        a = rng.normal(0.0, 0.05, (30, 2))
+        b = rng.normal(3.0, 0.05, (30, 2))
+        x = np.concatenate([a, b]).astype(np.float32)
+        modes, labels = mean_shift_clustering(jnp.asarray(x), 0.5)
+        labs = np.asarray(labels)
+        assert len(set(labs[:30])) == 1
+        assert len(set(labs[30:])) == 1
+        assert labs[0] != labs[-1]

