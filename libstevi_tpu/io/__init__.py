@@ -1,0 +1,11 @@
+from .image_io import read_image, write_image, read_flo, write_flo, \
+    read_stevimg, write_stevimg
+from .pointcloud_io import (PointCloud, open_point_cloud, save_point_cloud,
+                            read_las, write_las, read_pcd, write_pcd)
+
+__all__ = [
+    "read_image", "write_image", "read_flo", "write_flo",
+    "read_stevimg", "write_stevimg",
+    "PointCloud", "open_point_cloud", "save_point_cloud",
+    "read_las", "write_las", "read_pcd", "write_pcd",
+]

@@ -1,0 +1,67 @@
+"""Native (C++) components, compiled on demand with the system toolchain.
+
+The reference's only compiled code is its IO layer (`io/*.cpp`, SURVEY.md
+§2.6); this package mirrors that: the LAS codec is C++ (`las_codec.cpp`)
+bound through ctypes.  Build products are cached next to the sources and
+rebuilt when the source mtime changes.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+
+_DIR = os.path.dirname(os.path.abspath(__file__))
+
+
+def _build(name: str) -> str:
+    src = os.path.join(_DIR, f"{name}.cpp")
+    so = os.path.join(_DIR, f"{name}.so")
+    if (not os.path.exists(so)
+            or os.path.getmtime(so) < os.path.getmtime(src)):
+        subprocess.run(
+            ["g++", "-O3", "-shared", "-fPIC", "-std=c++17", src, "-o", so],
+            check=True, capture_output=True)
+    return so
+
+
+_las_lib = None
+
+
+def las_library() -> ctypes.CDLL:
+    """The LAS codec shared library (compiled on first use)."""
+    global _las_lib
+    if _las_lib is None:
+        _las_lib = ctypes.CDLL(_build("las_codec"))
+        _configure_las(_las_lib)
+    return _las_lib
+
+
+class LasInfo(ctypes.Structure):
+    _fields_ = [
+        ("version_major", ctypes.c_uint8),
+        ("version_minor", ctypes.c_uint8),
+        ("point_format", ctypes.c_uint8),
+        ("point_record_len", ctypes.c_uint16),
+        ("n_points", ctypes.c_uint64),
+        ("header_size", ctypes.c_uint32),
+        ("offset_to_points", ctypes.c_uint64),
+        ("scale", ctypes.c_double * 3),
+        ("offset", ctypes.c_double * 3),
+        ("mins", ctypes.c_double * 3),
+        ("maxs", ctypes.c_double * 3),
+    ]
+
+
+def _configure_las(lib: ctypes.CDLL):
+    lib.las_read_info.argtypes = [ctypes.c_char_p, ctypes.POINTER(LasInfo)]
+    lib.las_read_info.restype = ctypes.c_int
+    lib.las_read_points.argtypes = [
+        ctypes.c_char_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+        ctypes.c_void_p, ctypes.c_void_p]
+    lib.las_read_points.restype = ctypes.c_longlong
+    lib.las_write_points.argtypes = [
+        ctypes.c_char_p, ctypes.c_void_p, ctypes.c_longlong, ctypes.c_void_p,
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int]
+    lib.las_write_points.restype = ctypes.c_int

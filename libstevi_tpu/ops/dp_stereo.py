@@ -1,0 +1,87 @@
+"""Scanline dynamic-programming stereo (Cox / Birchfield style).
+
+Reference parity: `correlation/dynamic_programing_stereo.h` —
+`DynamicProgramming` (:37) with `JumpCostPolicy` (:56),
+`SGMLikeJumpCostPolicy` (:76: P1 for |delta d| = 1, P2 for larger jumps) and
+`SGMLikeWithImageGuideJumpCostPolicy` (:105: jump costs modulated by the
+guide-image gradient), `extractOptimalIndex` (:134: per-row monotone optimal
+path with occlusion marking).
+
+TPU design: rows are independent — all rows run one `lax.scan` over columns
+carrying the per-disparity cost-to-come, storing the argmin transitions;
+a reverse scan backtracks the optimal path.  Occlusions are marked where
+the backtracked path jumps by more than one disparity step.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+
+from ..core.types import disp_dtype
+
+
+@dataclass
+class DpStereoResult:
+    disparity: jnp.ndarray       # (H, W) int32
+    occlusion: jnp.ndarray       # (H, W) bool
+
+
+def dp_stereo(cv: jnp.ndarray, P1: float = 1.0, P2: float = 4.0,
+              guide: jnp.ndarray | None = None,
+              guide_scale: float = 1.0) -> DpStereoResult:
+    """Per-row DP over an (H, W, D) cost volume with SGM-like jump costs;
+    `guide` (H, W) modulates the jump penalty by exp(-|grad|)*scale
+    (`SGMLikeWithImageGuideJumpCostPolicy`)."""
+    H, W, D = cv.shape
+    cv = cv.astype(jnp.float32)
+    dd = jnp.arange(D, dtype=jnp.int32)
+    delta = jnp.abs(dd[:, None] - dd[None, :]).astype(jnp.float32)
+    base_pen = jnp.where(delta == 1, P1, jnp.where(delta > 1, P2, 0.0))
+
+    if guide is None:
+        pen_cols = jnp.ones((W,), jnp.float32)
+    else:
+        g = guide.astype(jnp.float32)
+        grad = jnp.abs(jnp.diff(g, axis=1, prepend=g[:, :1]))
+        pen_cols = None  # handled per row below
+
+    def forward(row_cv, row_pen):
+        # row_cv (W, D); row_pen (W,) jump-cost modulation per column
+        def step(carry, xs):
+            prev = carry                       # (D,) cost-to-come
+            c, pmod = xs
+            total = prev[None, :] + base_pen * pmod      # (D_new, D_old)
+            arg = jnp.argmin(total, axis=1)
+            best = jnp.take_along_axis(total, arg[:, None], 1)[:, 0]
+            cur = c + best
+            return cur, arg.astype(jnp.int32)
+
+        init = row_cv[0]
+        args0 = jnp.zeros((D,), jnp.int32)
+        carry, args = jax.lax.scan(step, init, (row_cv[1:], row_pen[1:]))
+        return carry, jnp.concatenate([args0[None], args], 0)  # (W, D)
+
+    if guide is None:
+        pen = jnp.ones((H, W), jnp.float32)
+    else:
+        pen = jnp.exp(-grad * guide_scale)
+
+    final, args = jax.vmap(forward)(jnp.swapaxes(cv, 0, 0), pen)
+    # backtrack (reverse scan over columns)
+    last = jnp.argmin(final, axis=-1).astype(jnp.int32)   # (H,)
+
+    def back(carry, a_col):
+        d = carry                      # (H,)
+        prev = jnp.take_along_axis(a_col, d[:, None], 1)[:, 0]
+        return prev, d
+
+    args_rev = jnp.moveaxis(args, 1, 0)[::-1]             # (W, H, D)
+    _, path = jax.lax.scan(back, last, args_rev)
+    disp = jnp.flip(jnp.moveaxis(path, 0, 1), 1)          # (H, W)
+
+    jump = jnp.abs(jnp.diff(disp, axis=1, prepend=disp[:, :1]))
+    occl = jump > 1
+    return DpStereoResult(disp.astype(disp_dtype), occl)

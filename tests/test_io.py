@@ -1,0 +1,111 @@
+"""IO round-trip tests, incl. reading the reference's sample point clouds."""
+
+import glob
+import os
+
+import numpy as np
+import pytest
+
+from libstevi_tpu.io import (read_image, write_image, read_flo, write_flo,
+                             read_stevimg, write_stevimg, PointCloud,
+                             read_las, write_las, read_pcd, write_pcd,
+                             open_point_cloud)
+
+SAMPLES = "/root/reference/test/pointcloud_samples"
+
+
+class TestImageIO:
+    def test_stevimg_round_trip(self, rng, tmp_path):
+        for dtype in (np.uint8, np.int16, np.float32):
+            img = (rng.uniform(0, 100, (7, 9, 3))).astype(dtype)
+            p = str(tmp_path / f"x_{np.dtype(dtype).name}.stevimg")
+            write_stevimg(p, img)
+            back = read_stevimg(p)
+            assert back.dtype == img.dtype
+            np.testing.assert_array_equal(back, img)
+
+    def test_flo_round_trip(self, rng, tmp_path):
+        flow = rng.normal(size=(5, 8, 2)).astype(np.float32)
+        p = str(tmp_path / "f.flo")
+        write_flo(p, flow)
+        np.testing.assert_array_equal(read_flo(p), flow)
+
+    def test_png_round_trip(self, rng, tmp_path):
+        img = (rng.uniform(0, 255, (16, 16, 3))).astype(np.uint8)
+        p = str(tmp_path / "i.png")
+        write_image(p, img)
+        np.testing.assert_array_equal(read_image(p), img)
+
+    def test_dispatch_by_extension(self, rng, tmp_path):
+        img = rng.uniform(0, 1, (4, 4)).astype(np.float32)
+        p = str(tmp_path / "r.stevimg")
+        write_image(p, img)
+        np.testing.assert_array_equal(read_image(p), img)
+
+
+class TestLas:
+    def test_round_trip(self, rng, tmp_path):
+        n = 1000
+        cloud = PointCloud(
+            rng.uniform(-100, 100, (n, 3)),
+            {"intensity": rng.integers(0, 65535, n).astype(np.uint16),
+             "classification": rng.integers(0, 31, n).astype(np.uint8),
+             "gps_time": rng.uniform(0, 1e6, n)})
+        p = str(tmp_path / "c.las")
+        write_las(p, cloud)
+        back = read_las(p)
+        assert back.n_points == n
+        np.testing.assert_allclose(back.positions, cloud.positions,
+                                   atol=1e-3)
+        np.testing.assert_array_equal(back.attributes["intensity"],
+                                      cloud.attributes["intensity"])
+        np.testing.assert_allclose(back.attributes["gps_time"],
+                                   cloud.attributes["gps_time"])
+
+    @pytest.mark.skipif(not glob.glob(os.path.join(SAMPLES, "las", "*")),
+                        reason="no reference samples")
+    def test_reads_reference_samples(self):
+        for path in glob.glob(os.path.join(SAMPLES, "las", "*.las")):
+            cloud = open_point_cloud(path)
+            assert cloud.n_points > 0
+            assert np.isfinite(cloud.positions).all()
+
+
+class TestPcd:
+    @pytest.mark.parametrize("binary", [True, False])
+    def test_round_trip(self, rng, binary, tmp_path):
+        n = 200
+        cloud = PointCloud(
+            rng.uniform(-10, 10, (n, 3)),
+            {"intensity": rng.uniform(0, 1, n).astype(np.float32)})
+        p = str(tmp_path / "c.pcd")
+        write_pcd(p, cloud, binary=binary)
+        back = read_pcd(p)
+        assert back.n_points == n
+        np.testing.assert_allclose(back.positions, cloud.positions,
+                                   atol=1e-4)
+        np.testing.assert_allclose(back.attributes["intensity"],
+                                   cloud.attributes["intensity"], atol=1e-6)
+
+    @pytest.mark.skipif(not glob.glob(os.path.join(SAMPLES, "pcd", "*")),
+                        reason="no reference samples")
+    def test_reads_reference_samples(self):
+        ok = 0
+        for path in glob.glob(os.path.join(SAMPLES, "pcd", "*.pcd")):
+            try:
+                cloud = open_point_cloud(path)
+            except IOError:
+                continue  # e.g. binary_compressed not yet supported
+            assert cloud.n_points > 0
+            ok += 1
+        assert ok >= 1
+
+
+class TestAttributes:
+    def test_rename_and_drop(self, rng):
+        c = PointCloud(rng.uniform(size=(5, 3)),
+                       {"a": np.arange(5), "b": np.ones(5)})
+        r = c.rename_attributes({"a": "alpha"})
+        assert "alpha" in r.attributes and "a" not in r.attributes
+        d = r.drop_attributes(["b"])
+        assert list(d.attributes) == ["alpha"]
