@@ -20,24 +20,28 @@ def main():
     from __graft_entry__ import entry
 
     fn, args = entry()
-    jfn = jax.jit(fn)
-    out = jfn(*args)
-    np.asarray(out)  # compile + full sync via host transfer
 
-    # distinct inputs per iteration (defeats any caching in the device
-    # tunnel) and a host transfer per iteration for a hard sync point
-    rng = np.random.default_rng(123)
-    n_iter = 10
-    variants = [tuple(a + jnp.float32(rng.uniform(0, 1e-3)) for a in args)
-                for _ in range(n_iter)]
-    for v in variants:
-        jax.block_until_ready(v)
-    checksum = 0.0
+    # Device-chained timing: each iteration's input depends on the previous
+    # output, so n iterations serialize on device and one final host
+    # transfer syncs — the (tunnel) host round-trip is amortized away and
+    # cannot fake-async the measurement either.
+    @jax.jit
+    def chained(l, r, n):
+        def body(_, carry):
+            l, r = carry
+            disp = fn(l, r)
+            return l + 1e-9 * disp[0, 0], r
+        return jax.lax.fori_loop(0, n, body, (l, r))[0]
+
+    np.asarray(chained(*args, 1)[0, 0])  # compile + sync
     t0 = time.perf_counter()
-    for v in variants:
-        out = jfn(*v)
-        checksum += float(out[0, 0])
-    dt = (time.perf_counter() - t0) / n_iter
+    np.asarray(chained(*args, 1)[0, 0])
+    t1 = time.perf_counter() - t0
+    n_iter = 20
+    t0 = time.perf_counter()
+    np.asarray(chained(*args, 1 + n_iter)[0, 0])
+    t21 = time.perf_counter() - t0
+    dt = (t21 - t1) / n_iter
     fps = 1.0 / dt
 
     # Roofline: the pipeline is HBM-bandwidth bound.  Minimum traffic per

@@ -36,7 +36,12 @@ def max_flow_min_cut(n_vertices: int, edges, capacities, source: int,
 
     edges = np.asarray(edges, np.int64)
     caps = np.asarray(capacities, np.float64)
-    int_caps = np.round(caps * scale).astype(np.int64)
+    # scipy's maximum_flow requires int32 capacities: adapt the scale so the
+    # largest capacity stays well inside int32
+    max_cap = caps.max() if len(caps) else 1.0
+    if max_cap > 0:
+        scale = min(scale, (2 ** 30) / max_cap)
+    int_caps = np.clip(np.round(caps * scale), 0, 2 ** 31 - 1).astype(np.int32)
     graph = csr_matrix((int_caps, (edges[:, 0], edges[:, 1])),
                        shape=(n_vertices, n_vertices))
     res = maximum_flow(graph, source, sink)

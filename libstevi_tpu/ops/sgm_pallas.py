@@ -137,7 +137,7 @@ def sgm_direction_pair(cv_lines: jnp.ndarray, *, W_img: int, W_pout: int,
                        ml: int, P1: float, P2: float, Pout: float, shear: str,
                        corner_fwd: int | None = None,
                        corner_bwd: int | None = None,
-                       rc: int = 8) -> jnp.ndarray:
+                       rc: int = 32) -> jnp.ndarray:
     """Forward + reverse DP passes over a line-major (H steps, L lines, D)
     volume, sharing one padded copy; returns the summed adj contributions
     (H, L, D)."""

@@ -1,0 +1,64 @@
+"""L0-regularized approximation.
+
+Reference parity: `optimization/l0optimization.h` (305 LoC) — L0-gradient
+approximation used by the intrinsic-image decomposition
+(`intrinsicImageDecomposition.h:60`).
+
+Documented deviation: the reference uses a sequential region-fusion scheme;
+here the same objective ``min_S ||S - I||^2 + lam * ||grad S||_0`` is solved
+with the half-quadratic splitting of Xu et al. (alternating hard-threshold
+gradient step + FFT Poisson solve) — identical fixed points on piecewise
+constant signals and fully TPU-parallel (FFTs + elementwise).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def l0_smoothing(image: jnp.ndarray, lam: float = 0.02,
+                 kappa: float = 2.0, beta_max: float = 1e5) -> jnp.ndarray:
+    """L0 gradient minimization of a (H, W) or (H, W, C) image."""
+    x = image.astype(jnp.float32)
+    chan = x.ndim == 3
+    if not chan:
+        x = x[..., None]
+    H, W, C = x.shape
+
+    # optical-transfer functions of the forward-difference operators
+    fx = jnp.zeros((H, W), jnp.complex64).at[0, 0].set(-1).at[0, W - 1].set(1)
+    fy = jnp.zeros((H, W), jnp.complex64).at[0, 0].set(-1).at[H - 1, 0].set(1)
+    otf_x = jnp.fft.fft2(fx)
+    otf_y = jnp.fft.fft2(fy)
+    denom_grad = jnp.abs(otf_x) ** 2 + jnp.abs(otf_y) ** 2
+    F_I = jnp.fft.fft2(x, axes=(0, 1))
+
+    def grad(s):
+        gx = jnp.roll(s, -1, 1) - s
+        gy = jnp.roll(s, -1, 0) - s
+        return gx, gy
+
+    def body(state):
+        S, beta = state
+        gx, gy = grad(S)
+        mag = gx * gx + gy * gy
+        keep = mag >= lam / beta
+        hx = jnp.where(keep, gx, 0.0)
+        hy = jnp.where(keep, gy, 0.0)
+        # S = F^-1[ (F(I) + beta (F(dx)* F(h) + ...)) / (1 + beta |F(d)|^2) ]
+        F_h = (jnp.conj(otf_x)[..., None] * jnp.fft.fft2(hx, axes=(0, 1))
+               + jnp.conj(otf_y)[..., None] * jnp.fft.fft2(hy, axes=(0, 1)))
+        F_S = (F_I + beta * F_h) / (1.0 + beta * denom_grad[..., None])
+        return jnp.real(jnp.fft.ifft2(F_S, axes=(0, 1))), beta * kappa
+
+    def cond(state):
+        return state[1] < beta_max
+
+    S, _ = jax.lax.while_loop(cond, body, (x, jnp.float32(2.0 * lam)))
+    return S if chan else S[..., 0]
+
+
+def l0_approximation(image: jnp.ndarray, lam: float = 0.02) -> jnp.ndarray:
+    """Reference-named entry (`l0optimization.h`)."""
+    return l0_smoothing(image, lam)
