@@ -57,8 +57,9 @@ def _sgm_dir_kernel(cv_ref, adj_ref, carry_ref, *, RC, TC, Dp, H, W_lines,
     cols = w * TC + jax.lax.broadcasted_iota(jnp.int32, (TC, 1), 0)
     b = (n_chunks - 1 - h) if reverse else h
 
-    def row_body(r, carry):
-        rr = (RC - 1 - r) if reverse else r
+    def row_body(rr, carry):
+        # rr is a STATIC row index (the loop below is unrolled at trace
+        # time) so every VMEM access is a static slice
         i = b * RC + rr           # original (padded) row index
 
         base = cv_ref[rr]
@@ -104,7 +105,11 @@ def _sgm_dir_kernel(cv_ref, adj_ref, carry_ref, *, RC, TC, Dp, H, W_lines,
         adj_ref[rr] = adj
         return cur
 
-    carry_ref[:] = jax.lax.fori_loop(0, RC, row_body, carry_ref[:])
+    carry = carry_ref[:]
+    rows = range(RC - 1, -1, -1) if reverse else range(RC)
+    for rr in rows:
+        carry = row_body(rr, carry)
+    carry_ref[:] = carry
 
 
 def _pass_on_padded(cv_p, H, L, *, W_img, W_pout, ml, P1, P2, Pout, reverse,
