@@ -344,10 +344,18 @@ def _pallas_adj(region, ml, P1, P2, Pout, W, n_directions):
     cvt = jnp.swapaxes(region, 0, 1)
     adj = adj + jnp.swapaxes(run(cvt, "step"), 0, 1)
     if n_directions >= 8:
-        adj = adj + _unshear_pos(
-            run(_shear_pos(region), "pos", H1 - 1, W1 - 1), H1, W1)
-        adj = adj + _unshear_neg(
-            run(_shear_neg(region), "neg", W1 - 1, H1 - 1), H1, W1)
+        # diagonal shears as Pallas per-row shifted copies — the XLA
+        # flat-reshape shear relayouts cost ~25x more
+        from .sgm_pallas import pallas_shear, pallas_unshear, _round_up
+        Dp = _round_up(D, 128)
+        cv_dp = jnp.pad(region, ((0, 0), (0, 0), (0, Dp - D)),
+                        constant_values=jnp.inf)
+        Sp = pallas_shear(cv_dp, H1, W1, neg=False)
+        adj = adj + pallas_unshear(run(Sp, "pos", H1 - 1, W1 - 1),
+                                   H1, W1, neg=False)[..., :D]
+        Sn = pallas_shear(cv_dp, H1, W1, neg=True)
+        adj = adj + pallas_unshear(run(Sn, "neg", W1 - 1, H1 - 1),
+                                   H1, W1, neg=True)[..., :D]
     return adj
 
 

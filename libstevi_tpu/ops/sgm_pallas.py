@@ -138,6 +138,70 @@ def _pass_on_padded(cv_p, H, L, *, W_img, W_pout, ml, P1, P2, Pout, reverse,
     )(cv_p)
 
 
+def _shift_rows_kernel(in_ref, out_ref, *, RC, W_out, start_base,
+                       start_slope, start_max):
+    """out[r, :] = in[r, start_r : start_r + W_out] with
+    start_r = clamp(start_base + start_slope * i, 0, start_max) — the
+    per-row dynamic slice that implements shears and unshears as one clean
+    streaming copy (the flat-reshape shear trick costs ~25x more in XLA
+    relayouts)."""
+    h = pl.program_id(0)
+    for r in range(RC):
+        i = h * RC + r
+        start = start_base + start_slope * i
+        start = max(0, min(start, start_max)) if isinstance(start, int) \
+            else jnp.clip(start, 0, start_max)
+        out_ref[r] = in_ref[r, pl.ds(start, W_out)]
+
+
+def _shift_rows(x: jnp.ndarray, W_out: int, start_base: int,
+                start_slope: int, rc: int = 4) -> jnp.ndarray:
+    """Apply the per-row shifted-window copy; x is (H, W_in, Dp) with Dp a
+    multiple of 128 and W_in >= W_out + max(start)."""
+    H, W_in, Dp = x.shape
+    Hp = _round_up(H, rc)
+    if Hp != H:
+        x = jnp.pad(x, ((0, Hp - H), (0, 0), (0, 0)),
+                    constant_values=jnp.inf)
+    start_max = W_in - W_out
+    kernel = functools.partial(
+        _shift_rows_kernel, RC=rc, W_out=W_out, start_base=start_base,
+        start_slope=start_slope, start_max=start_max)
+    out = pl.pallas_call(
+        kernel,
+        grid=(Hp // rc,),
+        in_specs=[pl.BlockSpec((rc, W_in, Dp), lambda h: (h, 0, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((rc, W_out, Dp), lambda h: (h, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((Hp, W_out, Dp), jnp.float32),
+    )(x)
+    return out[:H]
+
+
+def pallas_shear(cv_dp: jnp.ndarray, H: int, W: int, neg: bool) -> jnp.ndarray:
+    """Diagonal shear on a Dp-padded (H, W, Dp) volume: returns (H, Wd, Dp)
+    with Wd = W + H - 1; column c holds the down-right (neg=False,
+    c = j + H-1 - i) or down-left (neg=True, c = i + j) diagonal."""
+    Wd = W + H - 1
+    pad_l = H - 1
+    x = jnp.pad(cv_dp, ((0, 0), (pad_l, H), (0, 0)),
+                constant_values=jnp.inf)
+    # pos: S[i, c] = cv[i, c - (H-1) + i] = padded[i, c + i] -> start = i
+    # neg: S[i, c] = cv[i, c - i] = padded[i, c + (H-1) - i]
+    if neg:
+        return _shift_rows(x, Wd, H - 1, -1)
+    return _shift_rows(x, Wd, 0, 1)
+
+
+def pallas_unshear(S: jnp.ndarray, H: int, W: int, neg: bool) -> jnp.ndarray:
+    """Inverse of `pallas_shear` restricted to image columns."""
+    # pos: adj[i, j] = S[i, j + (H-1) - i]; neg: adj[i, j] = S[i, j + i]
+    if neg:
+        return _shift_rows(S, W, 0, 1)
+    return _shift_rows(S, W, H - 1, -1)
+
+
 def sgm_direction_pair(cv_lines: jnp.ndarray, *, W_img: int, W_pout: int,
                        ml: int, P1: float, P2: float, Pout: float, shear: str,
                        corner_fwd: int | None = None,
