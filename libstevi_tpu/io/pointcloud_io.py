@@ -224,6 +224,12 @@ def open_point_cloud(path: str) -> PointCloud:
         return read_las(path)
     if ext == ".pcd":
         return read_pcd(path)
+    if ext == ".sdc":
+        from .sdc_io import read_sdc
+        return read_sdc(path)
+    if ext == ".metacloud":
+        from .metacloud_io import read_metacloud
+        return read_metacloud(path)
     raise IOError(f"unsupported point-cloud format: {ext}")
 
 
@@ -233,4 +239,10 @@ def save_point_cloud(path: str, cloud: PointCloud) -> bool:
         return write_las(path, cloud)
     if ext == ".pcd":
         return write_pcd(path, cloud)
+    if ext == ".sdc":
+        from .sdc_io import write_sdc
+        return write_sdc(path, cloud)
+    if ext == ".metacloud":
+        from .metacloud_io import write_metacloud
+        return write_metacloud(path, cloud)
     raise IOError(f"unsupported point-cloud format: {ext}")

@@ -178,6 +178,121 @@ def patch_match_stereo(func: MatchingFunction, source_fv: jnp.ndarray,
     return disp
 
 
+class _FlowEval:
+    """cost(i, j, (di, dj)) = compare(source[i, j], target[i+di, j+dj])."""
+
+    def __init__(self, func, source_fv, target_fv):
+        self.func = func
+        self.traits = MATCH_TRAITS[func]
+        self.source = source_fv
+        self.target = target_fv
+        self.worst = (jnp.inf if self.traits.strategy is ExtractionStrategy.COST
+                      else -jnp.inf)
+
+    def cost_field(self, flow: jnp.ndarray):
+        H, W, F = self.target.shape
+        ii = jnp.arange(H, dtype=jnp.int32)[:, None]
+        jj = jnp.arange(W, dtype=jnp.int32)[None, :]
+        ti = ii + flow[..., 0]
+        tj = jj + flow[..., 1]
+        inb = (ti >= 0) & (ti < H) & (tj >= 0) & (tj < W)
+        tgt = self.target[jnp.clip(ti, 0, H - 1), jnp.clip(tj, 0, W - 1)]
+        c = feature_comparison(self.func, self.source, tgt)
+        return jnp.where(inb, c, self.worst)
+
+
+def patch_match_flow(func: MatchingFunction, source_fv: jnp.ndarray,
+                     target_fv: jnp.ndarray, search: SearchOffset2,
+                     n_iter: int = 5, n_random: int = 4,
+                     key: jax.Array | None = None) -> jnp.ndarray:
+    """2-D PatchMatch (image flow, `patchMatch` with searchSpaceDim == 2):
+    returns the (H, W, 2) flow field (di, dj).  Propagation sweeps and the
+    scaled random search mirror the 1-D variant with 2-D candidates."""
+    if key is None:
+        key = jax.random.PRNGKey(0)
+    ev = _FlowEval(func, source_fv, target_fv)
+    H, W, _ = source_fv.shape
+
+    key, k0, k1 = jax.random.split(key, 3)
+    flow = jnp.stack([
+        jax.random.randint(k0, (H, W), search.lower0, search.upper0 + 1,
+                           dtype=disp_dtype),
+        jax.random.randint(k1, (H, W), search.lower1, search.upper1 + 1,
+                           dtype=disp_dtype)], -1)
+    cost = ev.cost_field(flow)
+
+    def row_sweep(flow, cost, forward):
+        js = jnp.arange(W, dtype=jnp.int32)
+        if not forward:
+            js = jnp.flip(js)
+
+        def step(state, j):
+            f, c = state
+            prev_j = jnp.where(forward, j - 1, j + 1)
+            ok = (prev_j >= 0) & (prev_j < W)
+            cand = f[:, jnp.clip(prev_j, 0, W - 1)]       # (H, 2)
+            # evaluate only column j: gather target at (i+di, j+dj)
+            ti = jnp.arange(H, dtype=jnp.int32) + cand[:, 0]
+            tj = j + cand[:, 1]
+            inb = (ti >= 0) & (ti < H) & (tj >= 0) & (tj < W)
+            tgt = ev.target[jnp.clip(ti, 0, H - 1), jnp.clip(tj, 0, W - 1)]
+            cc = feature_comparison(ev.func, ev.source[:, j, :], tgt)
+            cc = jnp.where(inb, cc, ev.worst)
+            accept = ok & _better(ev.traits, cc, c[:, j])
+            f = f.at[:, j].set(jnp.where(accept[:, None], cand, f[:, j]))
+            c = c.at[:, j].set(jnp.where(accept, cc, c[:, j]))
+            return (f, c), None
+
+        (flow, cost), _ = jax.lax.scan(step, (flow, cost), js)
+        return flow, cost
+
+    def col_sweep(flow, cost, forward):
+        iis = jnp.arange(H, dtype=jnp.int32)
+        if not forward:
+            iis = jnp.flip(iis)
+
+        def step(state, i):
+            f, c = state
+            prev_i = jnp.where(forward, i - 1, i + 1)
+            ok = (prev_i >= 0) & (prev_i < H)
+            cand = f[jnp.clip(prev_i, 0, H - 1), :]       # (W, 2)
+            ti = i + cand[:, 0]
+            tj = jnp.arange(W, dtype=jnp.int32) + cand[:, 1]
+            inb = (ti >= 0) & (ti < H) & (tj >= 0) & (tj < W)
+            tgt = ev.target[jnp.clip(ti, 0, H - 1), jnp.clip(tj, 0, W - 1)]
+            cc = feature_comparison(ev.func, ev.source[i], tgt)
+            cc = jnp.where(inb, cc, ev.worst)
+            accept = ok & _better(ev.traits, cc, c[i, :])
+            f = f.at[i, :].set(jnp.where(accept[:, None], cand, f[i, :]))
+            c = c.at[i, :].set(jnp.where(accept, cc, c[i, :]))
+            return (f, c), None
+
+        (flow, cost), _ = jax.lax.scan(step, (flow, cost), iis)
+        return flow, cost
+
+    for it in range(n_iter):
+        row_fwd, col_fwd = _SWEEP_DIRS[it % 4]
+        flow, cost = row_sweep(flow, cost, row_fwd)
+        flow, cost = col_sweep(flow, cost, col_fwd)
+        key, ka, kb = jax.random.split(key, 3)
+        for k in range(n_random):
+            ka, k0, k1 = jax.random.split(ka, 3)
+            cand = jnp.stack([
+                jax.random.randint(k0, (H, W), search.lower0,
+                                   search.upper0 + 1, dtype=disp_dtype),
+                jax.random.randint(k1, (H, W), search.lower1,
+                                   search.upper1 + 1, dtype=disp_dtype)], -1)
+            delta = ((cand - flow) * (k + 1)) // (n_random + 1)
+            cand = flow + delta
+            same = jnp.all(cand == flow, -1, keepdims=True)
+            cand = jnp.where(same, flow + 1, cand)
+            cc = ev.cost_field(cand)
+            accept = _better(ev.traits, cc, cost)
+            flow = jnp.where(accept[..., None], cand, flow)
+            cost = jnp.where(accept, cc, cost)
+    return flow
+
+
 def patch_match(func: MatchingFunction, img_or_fv_l, img_or_fv_r,
                 search: SearchOffset1, h_radius: int | None = None,
                 v_radius: int | None = None, n_iter: int = 5,

@@ -109,3 +109,50 @@ class TestAttributes:
         assert "alpha" in r.attributes and "a" not in r.attributes
         d = r.drop_attributes(["b"])
         assert list(d.attributes) == ["alpha"]
+
+
+class TestSdcMetacloud:
+    def test_sdc_round_trip(self, rng, tmp_path):
+        from libstevi_tpu.io.sdc_io import read_sdc, write_sdc
+        n = 100
+        cloud = PointCloud(rng.uniform(-5, 5, (n, 3)),
+                           {"amplitude": rng.integers(0, 1000, n).astype(np.uint16),
+                            "time": rng.uniform(0, 10, n)})
+        p = str(tmp_path / "c.sdc")
+        write_sdc(p, cloud)
+        back = read_sdc(p)
+        np.testing.assert_allclose(back.positions, cloud.positions, atol=1e-5)
+        np.testing.assert_array_equal(back.attributes["amplitude"],
+                                      cloud.attributes["amplitude"])
+
+    def test_sdc_reads_reference_samples(self):
+        import glob as g
+        files = g.glob(os.path.join(SAMPLES, "sdc", "*.sdc"))
+        if not files:
+            pytest.skip("no sdc samples")
+        from libstevi_tpu.io.sdc_io import read_sdc
+        for f in files:
+            c = read_sdc(f)
+            assert c.n_points > 0
+
+    def test_metacloud_round_trip(self, rng, tmp_path):
+        from libstevi_tpu.io.metacloud_io import (read_metacloud,
+                                                  write_metacloud)
+        cloud = PointCloud(rng.uniform(-5, 5, (40, 3)),
+                           {"intensity": rng.integers(0, 100, 40).astype(np.uint16)})
+        cloud = PointCloud(cloud.positions,
+                           {"intensity": cloud.attributes["intensity"]})
+        p = str(tmp_path / "c.metacloud")
+        write_metacloud(p, cloud, meta={"creator": "test"})
+        back = read_metacloud(p)
+        np.testing.assert_allclose(back.positions, cloud.positions, atol=1e-3)
+        assert back.metacloud_attributes["creator"] == "test"
+
+    @pytest.mark.skipif(not glob.glob(os.path.join(SAMPLES, "metacloud", "*")),
+                        reason="no samples")
+    def test_reads_reference_metacloud_samples(self):
+        from libstevi_tpu.io.metacloud_io import read_metacloud
+        for f in glob.glob(os.path.join(SAMPLES, "metacloud", "*.metacloud")):
+            c = read_metacloud(f)
+            assert c.n_points > 0
+            assert np.isfinite(c.positions).all()

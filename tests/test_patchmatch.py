@@ -38,3 +38,23 @@ def test_patchmatch_piecewise_disparity(rng):
     bot = d[26:-5, 8:-12]
     assert (top == 3).mean() > 0.9
     assert (bot == 7).mean() > 0.9
+
+
+def test_patchmatch_flow_recovers_translation(rng):
+    from libstevi_tpu.core.search import SearchOffset2
+    from libstevi_tpu.ops.patchmatch import patch_match_flow
+    from libstevi_tpu.ops import unfold
+    from libstevi_tpu.ops.cost_volume import normalize_feature_volume
+    base = rng.uniform(0.1, 1, (36, 40)).astype(np.float32)
+    di, dj = 2, -3
+    tgt_img = base
+    src_img = np.roll(np.roll(base, -di, axis=0), -dj, axis=1)
+    # source pixel (i, j) matches target at (i + di, j + dj)
+    func = MatchingFunction.ZNCC
+    s = normalize_feature_volume(func, unfold(2, 2, jnp.asarray(src_img)))
+    t = normalize_feature_volume(func, unfold(2, 2, jnp.asarray(tgt_img)))
+    flow = patch_match_flow(func, s, t, SearchOffset2(-4, 4, -4, 4),
+                            n_iter=6, key=jax.random.PRNGKey(2))
+    f = np.asarray(flow)[6:-6, 6:-6]
+    good = (f[..., 0] == di) & (f[..., 1] == dj)
+    assert good.mean() > 0.9
