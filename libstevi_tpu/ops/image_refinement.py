@@ -159,6 +159,70 @@ def refine_barycentric_symmetric_disp(
     return jnp.where(valid, refined, d.astype(jnp.float32))
 
 
+def refine_barycentric_2d_disp(func: MatchingFunction, source_fv: jnp.ndarray,
+                               target_fv: jnp.ndarray,
+                               selected_index: jnp.ndarray) -> jnp.ndarray:
+    """2-D barycentric refinement of an (H, W, 2) flow field
+    (`refineBarycentric2dDisp`, `image_based_refinement.h:679`): per axis,
+    barycentric best approximation between the matched target feature and
+    its +-1 neighbors along that axis; candidate deltas accepted in (0, 1)
+    when the comparison improves (the 2-D analogue of
+    `refine_barycentric_disp`)."""
+    H, W, F = target_fv.shape
+    d = selected_index.astype(jnp.int32)
+    ii = jnp.arange(H, dtype=jnp.int32)[:, None]
+    jj = jnp.arange(W, dtype=jnp.int32)[None, :]
+    ti = jnp.clip(ii + d[..., 0], 1, H - 2)
+    tj = jnp.clip(jj + d[..., 1], 1, W - 2)
+    valid = ((ii + d[..., 0] >= 1) & (ii + d[..., 0] < H - 1)
+             & (jj + d[..., 1] >= 1) & (jj + d[..., 1] < W - 1))
+
+    def grab(di, dj):
+        return target_fv[ti + di, tj + dj]
+
+    t0 = grab(0, 0)
+    solver = _barycentric_solver(func)
+    src = source_fv
+    src_n = _maybe_normalize(func, src)
+    t0_n = _maybe_normalize(func, t0)
+    base_score = feature_comparison(func, src_n, t0_n)
+    is_score = MATCH_TRAITS[func].strategy is ExtractionStrategy.SCORE
+
+    def better(a, b):
+        return a > b if is_score else a < b
+
+    def axis_delta(tp, tm, score):
+        flat = lambda x: x.reshape(-1, F)
+
+        def solve_pair(a0, a1, b):
+            return solver(jnp.stack([a0, a1], -1), b)
+
+        cp = jax.vmap(solve_pair)(flat(t0), flat(tp), flat(src)).reshape(
+            H, W, 2)
+        cm = jax.vmap(solve_pair)(flat(tm), flat(t0), flat(src)).reshape(
+            H, W, 2)
+        dd_p = cp[..., 1]
+        dd_m = cm[..., 0]
+        ip = _maybe_normalize(func, t0 * cp[..., 0:1] + tp * cp[..., 1:2])
+        im = _maybe_normalize(func, tm * cm[..., 0:1] + t0 * cm[..., 1:2])
+        sp = feature_comparison(func, src_n, ip)
+        sm = feature_comparison(func, src_n, im)
+        delta = jnp.zeros((H, W), jnp.float32)
+        ok_p = (dd_p > 0) & (dd_p < 1) & better(sp, score)
+        delta = jnp.where(ok_p, dd_p, delta)
+        score = jnp.where(ok_p, sp, score)
+        ok_m = (dd_m > 0) & (dd_m < 1) & better(sm, score)
+        delta = jnp.where(ok_m, -dd_m, delta)
+        score = jnp.where(ok_m, sm, score)
+        return delta, score
+
+    delta0, s0 = axis_delta(grab(1, 0), grab(-1, 0), base_score)
+    delta1, _ = axis_delta(grab(0, 1), grab(0, -1), base_score)
+
+    refined = d.astype(jnp.float32) + jnp.stack([delta0, delta1], -1)
+    return jnp.where(valid[..., None], refined, d.astype(jnp.float32))
+
+
 def refine_cost_symmetric_disp(func: MatchingFunction, fv_l, fv_r,
                                selected_index, disp_width,
                                direction=DispDirection.RIGHT_TO_LEFT,

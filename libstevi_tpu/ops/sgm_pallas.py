@@ -40,11 +40,17 @@ def _round_up(x, m):
     return (x + m - 1) // m * m
 
 
-def _sgm_dir_kernel(cv_ref, adj_ref, carry_ref, *, RC, TC, Dp, H, W_lines,
-                    W_img, W_pout, P1, P2, Pout, reverse, shear, ml, corner):
+def _sgm_dir_kernel(*refs, RC, TC, Dp, H, W_lines, W_img, W_pout, P1, P2,
+                    Pout, reverse, shear, ml, corner, accumulate):
     """One directional pass over a padded line-major volume.  `shear` in
     {'none', 'step', 'pos', 'neg'} selects how the image column j derives
-    from (original row i, line c) for the Pout test and validity mask."""
+    from (original row i, line c) for the Pout test and validity mask; with
+    `accumulate` the pass adds onto the aliased accumulator input."""
+    if accumulate:
+        cv_ref, acc_ref, adj_ref, carry_ref = refs
+    else:
+        cv_ref, adj_ref, carry_ref = refs
+        acc_ref = None
     w = pl.program_id(0)
     h = pl.program_id(1)
     n_chunks = pl.num_programs(1)
@@ -102,7 +108,10 @@ def _sgm_dir_kernel(cv_ref, adj_ref, carry_ref, *, RC, TC, Dp, H, W_lines,
         cur = jnp.where(valid, cur, 0.0)
         if corner is not None:
             adj = adj * jnp.where(cols == corner, 2.0, 1.0)
-        adj_ref[rr] = adj
+        if accumulate:
+            adj_ref[rr] = acc_ref[rr] + adj
+        else:
+            adj_ref[rr] = adj
         return cur
 
     carry = carry_ref[:]
@@ -113,12 +122,13 @@ def _sgm_dir_kernel(cv_ref, adj_ref, carry_ref, *, RC, TC, Dp, H, W_lines,
 
 
 def _pass_on_padded(cv_p, H, L, *, W_img, W_pout, ml, P1, P2, Pout, reverse,
-                    shear, corner, RC, TC):
+                    shear, corner, RC, TC, acc=None):
     Hp, Lp, Dp = cv_p.shape
     kernel = functools.partial(
         _sgm_dir_kernel, RC=RC, TC=TC, Dp=Dp, H=H, W_lines=L, W_img=W_img,
         W_pout=W_pout, P1=float(P1), P2=float(P2), Pout=float(Pout),
-        reverse=reverse, shear=shear, ml=ml, corner=corner)
+        reverse=reverse, shear=shear, ml=ml, corner=corner,
+        accumulate=acc is not None)
 
     n_chunks = Hp // RC
     if reverse:
@@ -126,16 +136,26 @@ def _pass_on_padded(cv_p, H, L, *, W_img, W_pout, ml, P1, P2, Pout, reverse,
     else:
         index_map = lambda w, h: (h, w, 0)
 
+    spec = pl.BlockSpec((RC, TC, Dp), index_map, memory_space=pltpu.VMEM)
+    if acc is None:
+        in_specs = [spec]
+        args = (cv_p,)
+        aliases = {}
+    else:
+        # the accumulator input aliases the output buffer: the pass adds its
+        # contribution in-place, eliminating a separate XLA add
+        in_specs = [spec, spec]
+        args = (cv_p, acc)
+        aliases = {1: 0}
     return pl.pallas_call(
         kernel,
         grid=(Lp // TC, n_chunks),
-        in_specs=[pl.BlockSpec((RC, TC, Dp), index_map,
-                               memory_space=pltpu.VMEM)],
-        out_specs=pl.BlockSpec((RC, TC, Dp), index_map,
-                               memory_space=pltpu.VMEM),
+        in_specs=in_specs,
+        out_specs=spec,
         out_shape=jax.ShapeDtypeStruct((Hp, Lp, Dp), jnp.float32),
         scratch_shapes=[pltpu.VMEM((TC, Dp), jnp.float32)],
-    )(cv_p)
+        input_output_aliases=aliases,
+    )(*args)
 
 
 def _shift_rows_kernel(in_ref, out_ref, *, RC, W_out, start_base,
@@ -221,7 +241,7 @@ def sgm_direction_pair(cv_lines: jnp.ndarray, *, W_img: int, W_pout: int,
                    constant_values=jnp.inf)
     kw = dict(W_img=W_img, W_pout=W_pout, ml=ml, P1=P1, P2=P2, Pout=Pout,
               shear=shear, RC=RC, TC=TC)
-    adj = (_pass_on_padded(cv_p, H, L, reverse=False, corner=corner_fwd, **kw)
-           + _pass_on_padded(cv_p, H, L, reverse=True, corner=corner_bwd,
-                             **kw))
+    adj = _pass_on_padded(cv_p, H, L, reverse=False, corner=corner_fwd, **kw)
+    adj = _pass_on_padded(cv_p, H, L, reverse=True, corner=corner_bwd,
+                          acc=adj, **kw)
     return adj[:H, :L, :D]

@@ -112,3 +112,21 @@ def oriented_whitened_pixels_descriptor(coords: jnp.ndarray,
                                         radius: int = 3) -> jnp.ndarray:
     """(`OrientedWhitenedPixelsDescriptor`, `pointsDescriptors.h:401+`)."""
     return whitened_pixels_descriptor(coords, img, radius, directions)
+
+
+def circular_fft_descriptor(coords: jnp.ndarray, img: jnp.ndarray,
+                            n_rings: int = 4, n_per_ring: int = 16,
+                            radius: float = 6.0) -> jnp.ndarray:
+    """Rotation-invariant circular-FFT amplitude descriptor
+    (`pointsDescriptors.h:525`): sample each ring at uniform angles and keep
+    the FFT magnitude per ring (rotation = circular shift = phase only), with
+    per-ring mean/contrast normalization."""
+    offsets = jnp.asarray(radial_sampling_pattern(n_rings, n_per_ring,
+                                                  radius))
+    s = _sample(img, coords, offsets, None)          # (N, n_rings*n_per_ring)
+    s = s.reshape(s.shape[0], n_rings, n_per_ring)
+    mean = jnp.mean(s, -1, keepdims=True)
+    std = jnp.std(s, -1, keepdims=True)
+    s = (s - mean) / jnp.where(std > 1e-6, std, 1.0)
+    amp = jnp.abs(jnp.fft.rfft(s, axis=-1))          # (N, rings, n//2+1)
+    return amp.reshape(amp.shape[0], -1)

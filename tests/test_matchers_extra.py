@@ -167,3 +167,45 @@ class TestBgSegmentation:
         mask = np.asarray(res.fg_mask)
         assert mask[13:18, 23:27].mean() > 0.6
         assert mask[:6].mean() < 0.1
+
+
+class TestRefine2dBarycentric:
+    def test_flow_subpixel(self, rng):
+        from libstevi_tpu.ops.image_refinement import refine_barycentric_2d_disp
+        from libstevi_tpu.interpolation import bilinear_sample
+        H, W = 28, 32
+        base = rng.uniform(0.1, 1, (H, W)).astype(np.float32)
+        di, dj = 1.0, 2.4   # subpixel horizontal component
+        ii, jjg = np.meshgrid(np.arange(H, dtype=np.float32),
+                              np.arange(W, dtype=np.float32), indexing="ij")
+        coords = jnp.asarray(np.stack([ii + di, jjg + dj], -1))
+        src_img = np.asarray(bilinear_sample(jnp.asarray(base), coords))
+        func = MatchingFunction.NCC
+        s = unfold(1, 1, jnp.asarray(src_img))
+        t = unfold(1, 1, jnp.asarray(base))
+        raw = jnp.asarray(np.tile(np.array([1, 2], np.int32), (H, W, 1)))
+        ref = np.asarray(refine_barycentric_2d_disp(func, s, t, raw))
+        inner = ref[5:-5, 5:-7]
+        err = np.abs(inner - np.array([di, dj]))
+        assert err[..., 1].mean() < 0.35      # subpixel axis improves
+        raw_err = abs(2 - dj)
+        assert err[..., 1].mean() < raw_err
+
+
+class TestCircularFft:
+    def test_rotation_invariance(self, rng):
+        from libstevi_tpu.sparse.descriptors import circular_fft_descriptor
+        from scipy.ndimage import rotate
+        img = rng.uniform(0, 1, (48, 48)).astype(np.float32)
+        from libstevi_tpu.imageproc import gaussian_blur
+        img = np.asarray(gaussian_blur(jnp.asarray(img), 1.5))
+        rot = rotate(img, 45, reshape=False, order=1, mode="nearest")
+        c = jnp.asarray([[24.0, 24.0]])
+        d0 = np.asarray(circular_fft_descriptor(c, jnp.asarray(img)))
+        d1 = np.asarray(circular_fft_descriptor(c, jnp.asarray(rot)))
+        # compare to the descriptor at a different location
+        d2 = np.asarray(circular_fft_descriptor(
+            jnp.asarray([[14.0, 33.0]]), jnp.asarray(img)))
+        sim_rot = np.linalg.norm(d0 - d1)
+        sim_other = np.linalg.norm(d0 - d2)
+        assert sim_rot < sim_other * 0.7
