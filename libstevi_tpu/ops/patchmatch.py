@@ -94,7 +94,8 @@ def _row_sweep(ev: _StereoEval, disp, cost, forward: bool):
         c = c.at[:, j].set(jnp.where(accept, cand_cost, c[:, j]))
         return (d, c), accept.sum()
 
-    (disp, cost), changes = jax.lax.scan(step2, (disp, cost), js)
+    (disp, cost), changes = jax.lax.scan(step2, (disp, cost), js,
+                                        unroll=8)
     return disp, cost, changes.sum()
 
 
@@ -123,7 +124,8 @@ def _col_sweep(ev: _StereoEval, disp, cost, forward: bool):
         c = c.at[i, :].set(jnp.where(accept, cand_cost, c[i, :]))
         return (d, c), accept.sum()
 
-    (disp, cost), changes = jax.lax.scan(step, (disp, cost), iis)
+    (disp, cost), changes = jax.lax.scan(step, (disp, cost), iis,
+                                        unroll=8)
     return disp, cost, changes.sum()
 
 
@@ -243,7 +245,8 @@ def patch_match_flow(func: MatchingFunction, source_fv: jnp.ndarray,
             c = c.at[:, j].set(jnp.where(accept, cc, c[:, j]))
             return (f, c), None
 
-        (flow, cost), _ = jax.lax.scan(step, (flow, cost), js)
+        (flow, cost), _ = jax.lax.scan(step, (flow, cost), js,
+                                       unroll=8)
         return flow, cost
 
     def col_sweep(flow, cost, forward):
@@ -267,7 +270,8 @@ def patch_match_flow(func: MatchingFunction, source_fv: jnp.ndarray,
             c = c.at[i, :].set(jnp.where(accept, cc, c[i, :]))
             return (f, c), None
 
-        (flow, cost), _ = jax.lax.scan(step, (flow, cost), iis)
+        (flow, cost), _ = jax.lax.scan(step, (flow, cost), iis,
+                                       unroll=8)
         return flow, cost
 
     for it in range(n_iter):
