@@ -64,13 +64,24 @@ class _StereoEval:
         return jnp.where(inb, c, self.worst)
 
     def cost_field(self, d: jnp.ndarray):
-        """Costs for a full (H, W) disparity field."""
+        """Costs for a full (H, W) disparity field.
+
+        The per-pixel W-axis lookup runs as a one-hot matmul on the MXU
+        (out-of-range rows are all-zero -> zero target vector, matching the
+        reference convention) instead of a TPU gather; bf16 one-hot halves
+        the streaming cost on TPU."""
         H, W, F = self.target.shape
         jj = jnp.arange(W, dtype=jnp.int32)[None, :]
         tgt_j = jj + d
         inb = (tgt_j >= 0) & (tgt_j < W)
-        tj = jnp.clip(tgt_j, 0, W - 1)
-        tgt = jnp.take_along_axis(self.target, tj[..., None], axis=1)
+        import jax as _jax
+        hot_dtype = (jnp.bfloat16 if _jax.default_backend() == "tpu"
+                     else jnp.float32)
+        onehot = (tgt_j[..., None] == jnp.arange(W, dtype=jnp.int32)
+                  ).astype(hot_dtype)
+        tgt = jnp.einsum("hjw,hwf->hjf", onehot,
+                         self.target.astype(hot_dtype),
+                         preferred_element_type=jnp.float32)
         c = feature_comparison(self.func, self.source, tgt)
         return jnp.where(inb, c, self.worst)
 
