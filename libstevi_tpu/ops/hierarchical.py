@@ -80,17 +80,31 @@ def _window_costs(func: MatchingFunction, source_fv, target_fv, center,
                   radius: int, dir_sign: int, cv_dtype):
     """costs[..., k] = compare(source[i,j], target[i, j + center + dir_sign *
     (k - radius)]), zero target vector out of range.  center is (H, W) int32
-    of *index-space* disparities (already sign-folded)."""
+    of *index-space* disparities (already sign-folded).
+
+    The per-pixel W-axis lookup runs as a one-hot matmul on the MXU
+    (out-of-range rows are all-zero, matching the reference's
+    zero-target-vector convention); each window slot reuses the shared
+    one-hot against a shifted copy of the target volume."""
     H, W, F = target_fv.shape
     jj = jnp.arange(W, dtype=jnp.int32)[None, :]
+    hot_dtype = (jnp.bfloat16 if jax.default_backend() == "tpu"
+                 else jnp.float32)
+    base_j = jj + center
+    onehot = (base_j[..., None] == jnp.arange(W, dtype=jnp.int32)
+              ).astype(hot_dtype)                        # (H, W, W)
+    tgtc = target_fv.astype(hot_dtype)
     outs = []
     for k in range(2 * radius + 1):
-        tgt_j = jj + center + dir_sign * (k - radius)
-        inb = (tgt_j >= 0) & (tgt_j < W)
-        tj = jnp.clip(tgt_j, 0, W - 1)
-        tgt = jnp.take_along_axis(target_fv, tj[..., None], axis=1)
-        tgt = jnp.where(inb[..., None], tgt, 0)
-        outs.append(feature_comparison(func, source_fv, tgt).astype(cv_dtype))
+        sh = dir_sign * (k - radius)
+        # shift the target so slot k's offset folds into the shared one-hot
+        if sh >= 0:
+            t_s = jnp.pad(tgtc, ((0, 0), (0, sh), (0, 0)))[:, sh:, :]
+        else:
+            t_s = jnp.pad(tgtc, ((0, 0), (-sh, 0), (0, 0)))[:, :W, :]
+        g = jnp.einsum("hjw,hwf->hjf", onehot, t_s,
+                       preferred_element_type=jnp.float32)
+        outs.append(feature_comparison(func, source_fv, g).astype(cv_dtype))
     return jnp.stack(outs, axis=-1)
 
 
@@ -111,16 +125,14 @@ def compute_guided_cv(func: MatchingFunction, fv_l: jnp.ndarray,
     guide = _bilinear_guide(disp_guide, H, W)
     d0 = (dir_sign * jnp.round(guide)).astype(jnp.int32)  # index-space center
 
-    # pass 1: window around d0, slot k holds delta = dir_sign * (k - r)
+    # pass 1: window around d0.  The reference stores slot
+    # dirSign*delta + r for delta in [-r, r] (slot k <-> delta =
+    # dir_sign * (k - r), target position j + d0 + delta); _window_costs
+    # evaluates slots at j + d0 + (k - r), so LEFT_TO_RIGHT flips the slot
+    # axis to match.
     costs0 = _window_costs(func, source_fv, target_fv, d0, r, 1, cv_dtype)
-    # slot k corresponds to target offset d0 + dir_sign*0 ... wait: the
-    # reference stores slot dirSign*delta + r for delta in [-r, r], i.e.
-    # slot k <-> delta = dir_sign * (k - r); target position j + d0 + delta.
-    # _window_costs with dir_sign=1 and center=d0 gives slot k at
-    # j + d0 + (k - r); remap for LEFT_TO_RIGHT by flipping:
     if dir_sign == -1:
         costs0 = jnp.flip(costs0, -1)
-    # now costs0[..., k] = cost at delta = dir_sign * (k - r)
 
     # refined optimum: the reference iterates delta = -r..r with strict
     # improvement, so the FIRST optimum in delta order wins; in slot order
