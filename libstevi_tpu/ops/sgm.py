@@ -329,11 +329,17 @@ def _cost_mode_pass(cv: jnp.ndarray, ii, jj, active, P1: float, P2: float,
 # ---------------------------------------------------------------------------
 
 def _pallas_adj(region, ml, P1, P2, Pout, W, n_directions):
-    """All principal-direction contributions via the Pallas kernel
-    (`sgm_pallas.py`): vertical on the volume, horizontal on its transpose,
-    diagonals on the sheared layouts."""
-    from .sgm_pallas import sgm_direction_pair
+    """All principal-direction contributions via the Pallas kernels
+    (`sgm_pallas.py`): the fused full-width kernels when the carries fit
+    VMEM (4 streaming passes total), else the per-direction path (vertical
+    on the volume, horizontal on its transpose, diagonals on sheared
+    layouts)."""
+    from .sgm_pallas import sgm_direction_pair, sgm_fused_adj
     H1, W1, D = region.shape
+
+    fused = sgm_fused_adj(region, ml, W, P1, P2, Pout, n_directions)
+    if fused is not None:
+        return fused
 
     def run(vol, shear, cf=None, cb=None):
         return sgm_direction_pair(vol, W_img=W1, W_pout=W, ml=ml, P1=P1,

@@ -222,6 +222,226 @@ def pallas_unshear(S: jnp.ndarray, H: int, W: int, neg: bool) -> jnp.ndarray:
     return _shift_rows(S, W, H - 1, -1)
 
 
+# ---------------------------------------------------------------------------
+# Fused all-directions kernels (3 pallas_calls for the 8 principal directions)
+# ---------------------------------------------------------------------------
+#
+# The per-direction kernels above stream the volume 8+ times (plus shear /
+# transpose copies).  The fused design keeps full-width rows in VMEM and
+# carries ALL vertically-advancing directions at once:
+#   * down kernel:  UP2DOWN + UPLEFT2DOWNRIGHT + UPRIGHT2DOWNLEFT, one
+#     top-to-bottom streaming pass; each diagonal's carry advances by a
+#     one-sublane shift per row (zeros shifted in = line starts), so no
+#     sheared copies are ever materialized;
+#   * up kernel:    the three mirrored directions, accumulating onto the
+#     down kernel's output (aliased);
+#   * horizontal kernel (x2, fwd/rev): LEFT2RIGHT / RIGHT2LEFT as a
+#     column-scanning grid on the SAME padded volume — no transpose.
+# Total HBM traffic: ~5 volume sweeps instead of ~20, and the isfinite
+# guards of `_line_recurrence` drop out entirely: in the full-width layout
+# every cell is a real pixel, and agg <= min(prev) + P2 is always finite.
+
+
+def _fused_step(prev, base, pout_add, P1, P2):
+    """One O(D) min-shift DP step on a (rows/cols, Dp) tile.  `prev` is the
+    finite carry (padded-lane entries +inf so the d+-1 shifts see +inf
+    neighbours); returns (cur, adj) with cur = base + adj."""
+    m = jnp.min(prev, axis=-1, keepdims=True)
+    inf_col = jnp.full(prev.shape[:-1] + (1,), _INF, jnp.float32)
+    left = jnp.concatenate([inf_col, prev[:, :-1]], axis=-1)
+    right = jnp.concatenate([prev[:, 1:], inf_col], axis=-1)
+    agg = jnp.minimum(jnp.minimum(prev, m + P2),
+                      jnp.minimum(left + P1, right + P1))
+    adj = agg - m + pout_add
+    return base + adj, adj
+
+
+def _fused_rows_kernel(*refs, RC, Wp, Dp, H1, W1, ml, W_pout, P1, P2, Pout,
+                       reverse, diag, accumulate):
+    """One streaming pass over rows carrying the vertical direction and (with
+    `diag`) both diagonal families.  Carries are (Wp, Dp) VMEM scratch tiles
+    persisting across grid steps; diagonal carries shift by one sublane per
+    row (the inserted zero row IS the line-start state).  The reference's
+    double-covered corner lines (`sgm.h:329-355`) become a per-row one-hot
+    column multiplier on the diagonal contributions."""
+    if accumulate:
+        cv_ref, acc_ref, out_ref, *carries = refs
+    else:
+        cv_ref, out_ref, *carries = refs
+    if diag:
+        cv_carry, cp_carry, cn_carry = carries
+    else:
+        (cv_carry,) = carries
+
+    h = pl.program_id(0)
+    n = pl.num_programs(0)
+
+    @pl.when(h == 0)
+    def _():
+        cv_carry[:] = jnp.zeros((Wp, Dp), jnp.float32)
+        if diag:
+            cp_carry[:] = jnp.zeros((Wp, Dp), jnp.float32)
+            cn_carry[:] = jnp.zeros((Wp, Dp), jnp.float32)
+
+    cols = jax.lax.broadcasted_iota(jnp.int32, (Wp, 1), 0)
+    dd = jax.lax.broadcasted_iota(jnp.int32, (Wp, Dp), 1)
+    pout_add = jnp.where(ml + cols + dd >= W_pout,
+                         jnp.float32(Pout), jnp.float32(0.0))
+    col_ok = cols < W1
+    b = (n - 1 - h) if reverse else h
+
+    c_v = cv_carry[:]
+    if diag:
+        c_p = cp_carry[:]
+        c_n = cn_carry[:]
+    zrow = jnp.zeros((1, Dp), jnp.float32)
+
+    rows = range(RC - 1, -1, -1) if reverse else range(RC)
+    for rr in rows:
+        i = b * RC + rr
+        base = cv_ref[rr]
+        ok = col_ok & (i < H1)
+        total = acc_ref[rr] if accumulate else jnp.zeros((Wp, Dp),
+                                                         jnp.float32)
+        cur, adj = _fused_step(c_v, base, pout_add, P1, P2)
+        c_v = jnp.where(ok, cur, 0.0)
+        total = total + adj
+        if diag:
+            # pos family (lines j - i = const): SE forward / NW reverse —
+            # carry shifts down a sublane on the forward pass, up on reverse
+            shift = (jnp.concatenate([zrow, c_p[:-1]], 0) if not reverse
+                     else jnp.concatenate([c_p[1:], zrow], 0))
+            cur, adj = _fused_step(shift, base, pout_add, P1, P2)
+            c_p = jnp.where(ok, cur, 0.0)
+            cj = i if not reverse else (W1 - H1 + i)
+            total = total + adj * (1.0 + (cols == cj).astype(jnp.float32))
+            # neg family (lines i + j = const): SW forward / NE reverse
+            shift = (jnp.concatenate([c_n[1:], zrow], 0) if not reverse
+                     else jnp.concatenate([zrow, c_n[:-1]], 0))
+            cur, adj = _fused_step(shift, base, pout_add, P1, P2)
+            c_n = jnp.where(ok, cur, 0.0)
+            cj = (W1 - 1 - i) if not reverse else (H1 - 1 - i)
+            total = total + adj * (1.0 + (cols == cj).astype(jnp.float32))
+        out_ref[rr] = total
+    cv_carry[:] = c_v
+    if diag:
+        cp_carry[:] = c_p
+        cn_carry[:] = c_n
+
+
+def _fused_cols_kernel(*refs, CC, Dp, W1, ml, W_pout, P1, P2, Pout, reverse):
+    """LEFT2RIGHT / RIGHT2LEFT as a column-scanning grid (col chunks are the
+    innermost grid axis so the (RT, Dp) carry persists per row tile) —
+    replaces the transpose + row-scan of the per-direction path."""
+    cv_ref, acc_ref, out_ref, carry_ref = refs
+    w = pl.program_id(1)
+    nw = pl.num_programs(1)
+
+    @pl.when(w == 0)
+    def _():
+        carry_ref[:] = jnp.zeros_like(carry_ref)
+
+    RT = carry_ref.shape[0]
+    dd = jax.lax.broadcasted_iota(jnp.int32, (RT, Dp), 1)
+    b = (nw - 1 - w) if reverse else w
+    carry = carry_ref[:]
+    cols = range(CC - 1, -1, -1) if reverse else range(CC)
+    for cc in cols:
+        j = b * CC + cc
+        base = cv_ref[:, cc]
+        pout_add = jnp.where(ml + j + dd >= W_pout,
+                             jnp.float32(Pout), jnp.float32(0.0))
+        cur, adj = _fused_step(carry, base, pout_add, P1, P2)
+        carry = jnp.where(j < W1, cur, 0.0)
+        out_ref[:, cc] = acc_ref[:, cc] + adj
+    carry_ref[:] = carry
+
+
+def sgm_fused_adj(region: jnp.ndarray, ml: int, W_pout: int, P1: float,
+                  P2: float, Pout: float, n_directions: int,
+                  vmem_budget: int = 12 * 1024 * 1024,
+                  interpret: bool | None = None) -> jnp.ndarray | None:
+    """All principal-direction adj contributions of `sgm.py` in 4 fused
+    pallas_calls (down, up, horizontal fwd/rev — each aliasing the previous
+    accumulator).  Returns None when the full-width carries would not fit
+    VMEM (caller falls back to the per-direction path)."""
+    H1, W1, D = region.shape
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    Dp = _round_up(D, 128)
+    Wp = _round_up(W1, 8)
+    u = Wp * Dp * 4
+    diag = n_directions >= 8
+    RC = None
+    for rc in (8, 4, 2, 1):
+        # up-kernel worst case: 3 double-buffered (rc, Wp, Dp) blocks +
+        # carries
+        if (3 if diag else 1) * u + 6 * rc * u <= vmem_budget:
+            RC = rc
+            break
+    if RC is None:
+        return None
+
+    RT = min(128, _round_up(H1, 8))
+    CC = 8
+    while 6 * RT * CC * Dp * 4 + RT * Dp * 4 > vmem_budget and CC > 1:
+        CC //= 2
+    Hp = _round_up(H1, RT)
+    Wp = _round_up(Wp, CC)
+
+    # lanes pad with +inf (d+-1 shifts need +inf neighbours past D); padded
+    # rows/cols pad with 0 so no inf - inf can reach a NaN anywhere
+    cv_p = jnp.pad(region.astype(jnp.float32), ((0, 0), (0, 0), (0, Dp - D)),
+                   constant_values=jnp.inf)
+    cv_p = jnp.pad(cv_p, ((0, Hp - H1), (0, Wp - W1), (0, 0)))
+
+    kw = dict(Wp=Wp, Dp=Dp, H1=H1, W1=W1, ml=ml, W_pout=W_pout,
+              P1=float(P1), P2=float(P2), Pout=float(Pout), diag=diag)
+    n_chunks = Hp // RC
+    spec_f = pl.BlockSpec((RC, Wp, Dp), lambda h: (h, 0, 0),
+                          memory_space=pltpu.VMEM)
+    spec_r = pl.BlockSpec((RC, Wp, Dp), lambda h: (n_chunks - 1 - h, 0, 0),
+                          memory_space=pltpu.VMEM)
+    scratch = [pltpu.VMEM((Wp, Dp), jnp.float32)] * (3 if diag else 1)
+    out_sds = jax.ShapeDtypeStruct((Hp, Wp, Dp), jnp.float32)
+
+    def rows_call(acc, reverse):
+        spec = spec_r if reverse else spec_f
+        kernel = functools.partial(_fused_rows_kernel, RC=RC, reverse=reverse,
+                                   accumulate=acc is not None, **kw)
+        in_specs = [spec] if acc is None else [spec, spec]
+        args = (cv_p,) if acc is None else (cv_p, acc)
+        return pl.pallas_call(
+            kernel, grid=(n_chunks,), in_specs=in_specs, out_specs=spec,
+            out_shape=out_sds, scratch_shapes=scratch,
+            input_output_aliases={} if acc is None else {1: 0},
+            interpret=interpret)(*args)
+
+    adj = rows_call(None, reverse=False)
+    adj = rows_call(adj, reverse=True)
+
+    nwc = Wp // CC
+    hspec_f = pl.BlockSpec((RT, CC, Dp), lambda r, w: (r, w, 0),
+                           memory_space=pltpu.VMEM)
+    hspec_r = pl.BlockSpec((RT, CC, Dp), lambda r, w: (r, nwc - 1 - w, 0),
+                           memory_space=pltpu.VMEM)
+
+    def cols_call(acc, reverse):
+        spec = hspec_r if reverse else hspec_f
+        kernel = functools.partial(
+            _fused_cols_kernel, CC=CC, Dp=Dp, W1=W1, ml=ml, W_pout=W_pout,
+            P1=float(P1), P2=float(P2), Pout=float(Pout), reverse=reverse)
+        return pl.pallas_call(
+            kernel, grid=(Hp // RT, nwc), in_specs=[spec, spec],
+            out_specs=spec, out_shape=out_sds,
+            scratch_shapes=[pltpu.VMEM((RT, Dp), jnp.float32)],
+            input_output_aliases={1: 0}, interpret=interpret)(cv_p, adj)
+
+    adj = cols_call(adj, reverse=False)
+    adj = cols_call(adj, reverse=True)
+    return adj[:H1, :W1, :D]
+
+
 def sgm_direction_pair(cv_lines: jnp.ndarray, *, W_img: int, W_pout: int,
                        ml: int, P1: float, P2: float, Pout: float, shear: str,
                        corner_fwd: int | None = None,

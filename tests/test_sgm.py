@@ -78,3 +78,30 @@ def test_smoothing_pulls_outlier_toward_neighbors():
     wta_after = int(np.argmin(sgm[8, 8]))
     assert wta_before == 5
     assert wta_after == 2
+
+
+@pytest.mark.parametrize("n_dirs,margins", [
+    (4, Margins()), (8, Margins()), (8, Margins(2, 1, 3, 2)),
+])
+def test_fused_pallas_matches_xla(rng, n_dirs, margins):
+    """The fused full-width Pallas kernels (interpret mode on CPU) must match
+    the scan-based XLA path bit-closely, incl. corner doubling + margins."""
+    from libstevi_tpu.ops.sgm_pallas import sgm_fused_adj  # noqa: F401
+    cv = _cv(rng, 10, 14, 6)
+    want = np.asarray(sgm_cost_volume(jnp.asarray(cv), 0.3, 1.1, margins,
+                                      Pout=7.0, n_directions=n_dirs,
+                                      backend="xla"))
+    got = np.asarray(sgm_cost_volume(jnp.asarray(cv), 0.3, 1.1, margins,
+                                     Pout=7.0, n_directions=n_dirs,
+                                     backend="pallas"))
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+
+def test_fused_pallas_tall_region(rng):
+    """W1 < H1 exercises the reverse-diagonal corner line j = i + (W1-H1)."""
+    cv = _cv(rng, 18, 7, 5)
+    want = np.asarray(sgm_cost_volume(jnp.asarray(cv), 0.2, 0.9,
+                                      n_directions=8, backend="xla"))
+    got = np.asarray(sgm_cost_volume(jnp.asarray(cv), 0.2, 0.9,
+                                     n_directions=8, backend="pallas"))
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
