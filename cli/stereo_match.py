@@ -92,16 +92,23 @@ def main(argv=None):
                                       args.radius, args.disp_width)
         strategy = MATCH_TRAITS[func].strategy
         if args.matcher == "sgm":
-            cv = sgm_cost_volume(cv, args.sgm_p1, args.sgm_p2,
-                                 n_directions=args.sgm_dirs,
-                                 strategy=strategy)
-        idx = extract_selected_index(cv, strategy)
+            # fused SGM + WTA + band-extraction fast path
+            from libstevi_tpu.ops import sgm_wta_truncated
+            idx, tcv = sgm_wta_truncated(cv, args.sgm_p1, args.sgm_p2,
+                                         n_directions=args.sgm_dirs,
+                                         strategy=strategy,
+                                         h_radius=args.radius,
+                                         v_radius=args.radius)
+        else:
+            idx = extract_selected_index(cv, strategy)
+            tcv = None
         disp = selected_index_to_disp(idx)
         disp_f = np.asarray(disp, np.float32)
         if args.refine != "none":
-            work_cv = -cv if strategy is ExtractionStrategy.SCORE else cv
-            tcv = truncated_cost_volume(work_cv, idx, args.radius,
-                                        args.radius, 1)
+            if tcv is None:
+                work_cv = -cv if strategy is ExtractionStrategy.SCORE else cv
+                tcv = truncated_cost_volume(work_cv, idx, args.radius,
+                                            args.radius, 1)
             k = InterpolationKernel[args.refine.upper()]
             disp_f = np.asarray(refine_disp_cost_interpolation(k, tcv, idx))
     dt = time.perf_counter() - t0

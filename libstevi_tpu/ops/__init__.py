@@ -19,7 +19,7 @@ from .cost_volume import (
     truncated_bidirectional_cost_volume,
     extract_in_bound_domain,
 )
-from .sgm import sgm_cost_volume
+from .sgm import sgm_cost_volume, sgm_wta_truncated
 from .refinement import (
     InterpolationKernel,
     refine_disp_cost_interpolation,
@@ -41,6 +41,7 @@ __all__ = [
     "truncated_cost_volume", "truncated_bidirectional_cost_volume",
     "extract_in_bound_domain",
     "sgm_cost_volume",
+    "sgm_wta_truncated",
     "InterpolationKernel", "refine_disp_cost_interpolation",
     "refine_disp_2d_cost_interpolation",
     "refine_disp_2d_cost_patch_interpolation",

@@ -413,3 +413,61 @@ def sgm_cost_volume(cv: jnp.ndarray, P1: float, P2: float,
                 continue
             sgm = sgm + _cost_mode_pass(cv, ii, jj, active, P1, P2, Pout)
     return sgm
+
+
+def sgm_wta_truncated(cv: jnp.ndarray, P1: float, P2: float,
+                      margins: Margins = Margins(), Pout: float = 100.0,
+                      n_directions: int = 8,
+                      strategy: ExtractionStrategy = ExtractionStrategy.COST,
+                      h_radius: int = 0, v_radius: int = 0,
+                      cost_vol_radius: int = 1,
+                      backend: str = "auto"):
+    """Fused fast path for the chain ``sgm_cost_volume`` ->
+    ``extract_selected_index`` -> ``truncated_cost_volume`` (SAME mode) —
+    the dense-SGM hot loop of `examples/stereo-match/main.cpp:234-258`.
+
+    Returns ``(selected_index, truncated_cv)``; the truncated volume is
+    always in COST orientation (for SCORE inputs it holds the negated SGM
+    scores), which is what cost-based subpixel refinement consumes.  On TPU
+    with zero margins, 4/8 directions and P2 >= P1 the WTA and band
+    extraction happen inside the final SGM kernel pass (saving four
+    full-volume HBM sweeps); otherwise this is exactly the three-op chain.
+    """
+    from .cost_volume import (extract_selected_index, truncated_cost_volume,
+                              TruncatedCvDirection)
+    if backend == "auto":
+        backend = "pallas" if jax.default_backend() == "tpu" else "xla"
+    H, W, D = cv.shape
+    r = cost_vol_radius
+    zero_margins = (margins.left == margins.top == margins.right
+                    == margins.bottom == 0)
+
+    if (backend == "pallas" and zero_margins and n_directions in (4, 8)
+            and P2 >= P1):
+        from .sgm_pallas import sgm_fused_adj
+        sign = 1.0 if strategy is ExtractionStrategy.COST else -1.0
+        res = sgm_fused_adj((sign * cv).astype(jnp.float32), 0, W,
+                            float(P1), float(P2), float(Pout), n_directions,
+                            wta_radius=r)
+        if res is not None:
+            idx, bands = res
+            ii = jnp.arange(H, dtype=jnp.int32)[:, None]
+            jj = jnp.arange(W, dtype=jnp.int32)[None, :]
+            nan = jnp.float32(jnp.nan)
+            slots = []
+            for k in range(2 * r + 1):
+                p = idx + (k - r)
+                valid = ((p >= 0) & (p < D)
+                         & (jj >= h_radius) & (jj + p + h_radius < W)
+                         & (ii >= v_radius) & (ii + v_radius < H))
+                slots.append(jnp.where(valid, bands[..., k], nan))
+            from ..core.types import disp_dtype
+            return idx.astype(disp_dtype), jnp.stack(slots, axis=-1)
+
+    sgm = sgm_cost_volume(cv, P1, P2, margins, Pout, n_directions, strategy,
+                          backend)
+    idx = extract_selected_index(sgm, strategy)
+    vol = sgm if strategy is ExtractionStrategy.COST else -sgm
+    tcv = truncated_cost_volume(vol, idx, h_radius, v_radius, r,
+                                sdir=TruncatedCvDirection.SAME)
+    return idx, tcv

@@ -357,14 +357,67 @@ def _fused_cols_kernel(*refs, CC, Dp, W1, ml, W_pout, P1, P2, Pout, reverse):
     carry_ref[:] = carry
 
 
+def _make_fused_cols_wta(CC, Dp, W1, ml, W_pout, P1, P2, Pout, r):
+    """The final (reverse-horizontal) pass fused with WTA + band extraction:
+    instead of writing the adj volume it emits, per pixel, the tie-last
+    argmin index of the complete cost-mode SGM value C = cv + adj_total and
+    the C values at idx - r .. idx + r (the SAME-mode truncated cost volume
+    before validity masking, `correlation_base.h:582-674`).  Saves the adj
+    write, the separate cv + adj add, the WTA read and the truncation read.
+    The center band is the min value itself (one fewer masked reduction);
+    map outputs are W-major so their (CC, RT) blocks satisfy the (8, 128)
+    tiling — the driver transposes them back."""
+
+    def kernel(*refs):
+        cv_ref, acc_ref, idx_ref, *band_refs, carry_ref = refs
+        w = pl.program_id(1)
+        nw = pl.num_programs(1)
+
+        @pl.when(w == 0)
+        def _():
+            carry_ref[:] = jnp.zeros_like(carry_ref)
+
+        RT = carry_ref.shape[0]
+        dd = jax.lax.broadcasted_iota(jnp.int32, (RT, Dp), 1)
+        b = nw - 1 - w
+        carry = carry_ref[:]
+        for cc in range(CC - 1, -1, -1):
+            j = b * CC + cc
+            base = cv_ref[:, cc]
+            pout_add = jnp.where(ml + j + dd >= W_pout,
+                                 jnp.float32(Pout), jnp.float32(0.0))
+            cur, adj = _fused_step(carry, base, pout_add, P1, P2)
+            carry = jnp.where(j < W1, cur, 0.0)
+            C = acc_ref[:, cc] + adj + base
+            m = jnp.min(C, axis=-1, keepdims=True)
+            idx = jnp.max(jnp.where(C == m, dd, -1), axis=-1)
+            idx_ref[cc] = idx
+            for k in range(2 * r + 1):
+                if k == r:
+                    band_refs[k][cc] = m[:, 0]   # C[idx] IS the min
+                    continue
+                p = idx + (k - r)
+                band_refs[k][cc] = jnp.sum(
+                    jnp.where(dd == p[:, None], C, 0.0), axis=-1)
+        carry_ref[:] = carry
+
+    return kernel
+
+
 def sgm_fused_adj(region: jnp.ndarray, ml: int, W_pout: int, P1: float,
                   P2: float, Pout: float, n_directions: int,
                   vmem_budget: int = 12 * 1024 * 1024,
-                  interpret: bool | None = None) -> jnp.ndarray | None:
+                  interpret: bool | None = None,
+                  wta_radius: int | None = None):
     """All principal-direction adj contributions of `sgm.py` in 4 fused
     pallas_calls (down, up, horizontal fwd/rev — each aliasing the previous
     accumulator).  Returns None when the full-width carries would not fit
-    VMEM (caller falls back to the per-direction path)."""
+    VMEM (caller falls back to the per-direction path).
+
+    With ``wta_radius`` the final pass additionally performs the WTA and
+    band extraction (`_make_fused_cols_wta`) and the return value is
+    ``(idx, bands)`` with idx (H1, W1) int32 and bands (H1, W1, 2r+1) the
+    raw C values around idx (validity masking is the caller's job)."""
     H1, W1, D = region.shape
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
@@ -438,8 +491,27 @@ def sgm_fused_adj(region: jnp.ndarray, ml: int, W_pout: int, P1: float,
             input_output_aliases={1: 0}, interpret=interpret)(cv_p, adj)
 
     adj = cols_call(adj, reverse=False)
-    adj = cols_call(adj, reverse=True)
-    return adj[:H1, :W1, :D]
+
+    if wta_radius is None:
+        adj = cols_call(adj, reverse=True)
+        return adj[:H1, :W1, :D]
+
+    r = wta_radius
+    map_spec = pl.BlockSpec((CC, RT), lambda rr, w: (nwc - 1 - w, rr),
+                            memory_space=pltpu.VMEM)
+    kernel = _make_fused_cols_wta(CC, Dp, W1, ml, W_pout, float(P1),
+                                  float(P2), float(Pout), r)
+    outs = pl.pallas_call(
+        kernel, grid=(Hp // RT, nwc), in_specs=[hspec_r, hspec_r],
+        out_specs=[map_spec] * (2 + 2 * r),
+        out_shape=([jax.ShapeDtypeStruct((Wp, Hp), jnp.int32)]
+                   + [jax.ShapeDtypeStruct((Wp, Hp), jnp.float32)]
+                   * (2 * r + 1)),
+        scratch_shapes=[pltpu.VMEM((RT, Dp), jnp.float32)],
+        interpret=interpret)(cv_p, adj)
+    idx = outs[0].T[:H1, :W1]
+    bands = jnp.stack([b.T[:H1, :W1] for b in outs[1:]], axis=-1)
+    return idx, bands
 
 
 def sgm_direction_pair(cv_lines: jnp.ndarray, *, W_img: int, W_pout: int,

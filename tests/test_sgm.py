@@ -105,3 +105,43 @@ def test_fused_pallas_tall_region(rng):
     got = np.asarray(sgm_cost_volume(jnp.asarray(cv), 0.2, 0.9,
                                      n_directions=8, backend="pallas"))
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+
+@pytest.mark.parametrize("strategy", [ExtractionStrategy.COST,
+                                      ExtractionStrategy.SCORE])
+def test_sgm_wta_truncated_matches_chain(rng, strategy):
+    """Fused SGM+WTA+band fast path == sgm_cost_volume ->
+    extract_selected_index -> truncated_cost_volume(SAME), incl. tie-last
+    WTA, NaN validity masking and both strategies."""
+    from libstevi_tpu.ops import (sgm_wta_truncated, extract_selected_index,
+                                  truncated_cost_volume)
+    cv = _cv(rng, 12, 15, 6)
+    idx_f, tcv_f = sgm_wta_truncated(jnp.asarray(cv), 0.3, 1.1, Pout=7.0,
+                                     n_directions=8, strategy=strategy,
+                                     h_radius=2, v_radius=2,
+                                     backend="pallas")
+    sgm = sgm_cost_volume(jnp.asarray(cv), 0.3, 1.1, Pout=7.0,
+                          n_directions=8, strategy=strategy, backend="xla")
+    idx = extract_selected_index(sgm, strategy)
+    vol = sgm if strategy is ExtractionStrategy.COST else -sgm
+    tcv = truncated_cost_volume(vol, idx, 2, 2, 1)
+    np.testing.assert_array_equal(np.asarray(idx_f), np.asarray(idx))
+    np.testing.assert_allclose(np.asarray(tcv_f), np.asarray(tcv),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_sgm_wta_truncated_fallback_chain(rng):
+    """Non-zero margins route through the exact three-op chain."""
+    from libstevi_tpu.ops import (sgm_wta_truncated, extract_selected_index,
+                                  truncated_cost_volume)
+    cv = _cv(rng, 10, 12, 5)
+    m = Margins(1, 1, 1, 1)
+    idx_f, tcv_f = sgm_wta_truncated(jnp.asarray(cv), 0.2, 0.8, m,
+                                     n_directions=8, backend="pallas")
+    sgm = sgm_cost_volume(jnp.asarray(cv), 0.2, 0.8, m, n_directions=8,
+                          backend="xla")
+    idx = extract_selected_index(sgm, ExtractionStrategy.COST)
+    tcv = truncated_cost_volume(sgm, idx, 0, 0, 1)
+    np.testing.assert_array_equal(np.asarray(idx_f), np.asarray(idx))
+    np.testing.assert_allclose(np.asarray(tcv_f), np.asarray(tcv),
+                               rtol=1e-4, atol=1e-4)
