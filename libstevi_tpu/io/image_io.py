@@ -91,6 +91,16 @@ def read_image(path: str, dtype=None) -> np.ndarray:
         img = read_stevimg(path)
     elif ext == ".flo":
         img = read_flo(path)
+    elif ext == ".exr":
+        from .exr_io import read_exr
+        planes = read_exr(path)
+        if len(planes) == 1:
+            img = next(iter(planes.values()))
+        else:
+            # RGB(A)-style channel order when present, else alphabetical
+            order = [c for c in ("R", "G", "B", "A", "Y") if c in planes]
+            order += [c for c in sorted(planes) if c not in order]
+            img = np.stack([planes[c] for c in order], -1)
     else:
         import imageio.v3 as iio
         img = iio.imread(path)
@@ -106,6 +116,14 @@ def write_image(path: str, image: np.ndarray) -> bool:
         return write_stevimg(path, image)
     if ext == ".flo":
         return write_flo(path, image)
+    if ext == ".exr":
+        from .exr_io import write_exr
+        img = np.asarray(image, np.float32)
+        if img.ndim == 2:
+            return write_exr(path, {"Y": img})
+        names = ["R", "G", "B", "A"][:img.shape[-1]]
+        return write_exr(path, {n: img[..., i]
+                                for i, n in enumerate(names)})
     import imageio.v3 as iio
     img = image
     if img.dtype in (np.float32, np.float64) and ext in (".png", ".jpg",

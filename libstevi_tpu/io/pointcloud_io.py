@@ -165,6 +165,22 @@ def read_pcd(path: str) -> PointCloud:
             arr = np.frombuffer(f.read(rec.itemsize * n_points), rec,
                                 n_points)
             cols = {name: np.array(arr[name]) for name in fields}
+        elif data_mode == "binary_compressed":
+            # u32 compressed size, u32 uncompressed size, LZF payload; the
+            # uncompressed data is field-major (SOA).  The reference stubs
+            # this mode out (`gotoNextBinaryCompressed`,
+            # `pcd_pointcloud_io.cpp:516` returns false); we decode it.
+            from ..native import lzf_decompress
+            csz, usz = np.frombuffer(f.read(8), np.uint32, 2)
+            raw = lzf_decompress(f.read(int(csz)), int(usz))
+            cols = {}
+            off = 0
+            for name, dt, cnt in zip(fields, dtypes, counts):
+                nb = np.dtype(dt).itemsize * cnt * n_points
+                block = np.frombuffer(raw[off:off + nb], dt)
+                cols[name] = (block if cnt == 1
+                              else block.reshape(n_points, cnt))
+                off += nb
         else:
             raise IOError(f"unsupported PCD data mode {data_mode!r}")
 
@@ -173,7 +189,8 @@ def read_pcd(path: str) -> PointCloud:
     return PointCloud(xyz, cols)
 
 
-def write_pcd(path: str, cloud: PointCloud, binary: bool = True) -> bool:
+def write_pcd(path: str, cloud: PointCloud, binary: bool = True,
+              compressed: bool = False) -> bool:
     xyz = np.asarray(cloud.positions, np.float32)
     fields = ["x", "y", "z"] + list(cloud.attributes)
     arrays = [xyz[:, 0], xyz[:, 1], xyz[:, 2]] \
@@ -197,10 +214,18 @@ def write_pcd(path: str, cloud: PointCloud, binary: bool = True) -> bool:
         f"TYPE {' '.join(type_char)}\n"
         f"COUNT {' '.join('1' for _ in fields)}\n"
         f"WIDTH {n}\nHEIGHT 1\nVIEWPOINT 0 0 0 1 0 0 0\nPOINTS {n}\n"
-        f"DATA {'binary' if binary else 'ascii'}\n")
+        f"DATA {'binary_compressed' if compressed else 'binary' if binary else 'ascii'}\n")
     with open(path, "wb") as f:
         f.write(header.encode())
-        if binary:
+        if compressed:
+            from ..native import lzf_compress
+            raw = b"".join(np.ascontiguousarray(a).tobytes()
+                           for a in arrays)          # field-major (SOA)
+            payload = lzf_compress(raw)
+            f.write(np.asarray([len(payload), len(raw)],
+                               np.uint32).tobytes())
+            f.write(payload)
+        elif binary:
             rec = np.dtype([(name, a.dtype) for name, a in
                             zip(fields, arrays)])
             out = np.empty(n, rec)

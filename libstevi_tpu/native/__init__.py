@@ -65,3 +65,38 @@ def _configure_las(lib: ctypes.CDLL):
         ctypes.c_char_p, ctypes.c_void_p, ctypes.c_longlong, ctypes.c_void_p,
         ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int]
     lib.las_write_points.restype = ctypes.c_int
+
+
+_lzf_lib = None
+
+
+def lzf_library() -> ctypes.CDLL:
+    """The LZF codec shared library (PCD binary_compressed payloads)."""
+    global _lzf_lib
+    if _lzf_lib is None:
+        lib = ctypes.CDLL(_build("lzf_codec"))
+        for fn in (lib.lzf_decompress, lib.lzf_compress):
+            fn.argtypes = [ctypes.c_char_p, ctypes.c_long,
+                           ctypes.c_char_p, ctypes.c_long]
+            fn.restype = ctypes.c_long
+        _lzf_lib = lib
+    return _lzf_lib
+
+
+def lzf_decompress(data: bytes, out_size: int) -> bytes:
+    lib = lzf_library()
+    out = ctypes.create_string_buffer(out_size)
+    n = lib.lzf_decompress(data, len(data), out, out_size)
+    if n < 0:
+        raise IOError("malformed LZF stream")
+    return out.raw[:n]
+
+
+def lzf_compress(data: bytes) -> bytes:
+    lib = lzf_library()
+    cap = len(data) + len(data) // 16 + 64
+    out = ctypes.create_string_buffer(cap)
+    n = lib.lzf_compress(data, len(data), out, cap)
+    if n < 0:
+        raise IOError("LZF compression overflow")
+    return out.raw[:n]

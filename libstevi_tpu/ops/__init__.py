@@ -20,6 +20,16 @@ from .cost_volume import (
     extract_in_bound_domain,
 )
 from .sgm import sgm_cost_volume, sgm_wta_truncated
+from .image_refinement import (
+    refine_barycentric_disp, refine_barycentric_symmetric_disp,
+    refine_barycentric_2d_disp, refine_barycentric_symmetric_2d_disp,
+    refine_cost_symmetric_disp,
+    refine_subpart_barycentric_disp,
+    refine_subpart_barycentric_symmetric_disp,
+    refine_subpart_barycentric_2d_disp,
+    refine_subpart_barycentric_symmetric_2d_disp,
+    refine_arbitrary_interpolation_disp,
+    refine_arbitrary_interpolation_2d_disp)
 from .refinement import (
     InterpolationKernel,
     refine_disp_cost_interpolation,
