@@ -120,14 +120,12 @@ def main(argv=None):
               "output": args.output}
 
     if args.gt:
+        from libstevi_tpu.statistics import prop_good, inlier_mae
         gt = read_image(args.gt, np.float32)
         if gt.ndim == 3:
             gt = gt[..., 0]
-        valid = np.isfinite(gt)
-        err = np.abs(disp_f - gt)[valid]
-        report["prop_good_2.0"] = round(float((err <= 2.0).mean()), 4)
-        inl = err[err <= 2.0]
-        report["inlier_mae"] = round(float(inl.mean()), 4) if len(inl) else None
+        report["prop_good_2.0"] = round(prop_good(disp_f, gt, 2.0), 4)
+        report["inlier_mae"] = round(inlier_mae(disp_f, gt, 2.0), 4)
 
     print(json.dumps(report))
     return 0
