@@ -164,16 +164,95 @@ def _random_search(ev: _StereoEval, disp, cost, search: SearchOffset1,
 _SWEEP_DIRS = [(True, True), (False, True), (True, False), (False, False)]
 
 
+def _patch_match_stereo_cv(func, source_fv, target_fv, search, n_iter,
+                           n_random, key, interpret=False, cv=None):
+    """CV-backed fast path: the reference's *cached* on-demand volume
+    semantics (`on_demand_cost_volume.h:330`) — costs precomputed once,
+    sweeps as grid-sequential Pallas kernels, random search as masked
+    reductions over the volume.  Bit-identical cost values; out-of-image /
+    out-of-range candidates rejected before the tie-accepting compare
+    (`patchmatch.h:199-218`)."""
+    from .cost_volume import aggregate_cost
+    from .patchmatch_pallas import sweep, probe, _round_up
+    traits = MATCH_TRAITS[func]
+    if source_fv is not None:
+        H, W = source_fv.shape[:2]
+    else:
+        H, W = cv.shape[:2]
+    lower, upper = search.lower, search.upper
+    D = upper - lower + 1
+
+    if cv is None:
+        # aggregate_cost's RIGHT_TO_LEFT roles: fv_r = source, fv_l = target
+        cv = aggregate_cost(func, target_fv, source_fv, search)
+    costc = cv if traits.strategy is ExtractionStrategy.COST else -cv
+    jj = jnp.arange(W, dtype=jnp.int32)[None, :, None]
+    dv = lower + jnp.arange(D, dtype=jnp.int32)[None, None, :]
+    tgt = jj + dv
+    costc = jnp.where((tgt >= 0) & (tgt < W), costc.astype(jnp.float32),
+                      jnp.inf)
+
+    Dp = _round_up(D, 128)
+    Hp = _round_up(H, 8)
+    Wp = _round_up(W, 8)
+    cv_p = jnp.pad(costc, ((0, Hp - H), (0, Wp - W), (0, Dp - D)),
+                   constant_values=jnp.inf)
+    cvT_p = jnp.swapaxes(cv_p, 0, 1)
+
+    key, k0 = jax.random.split(key)
+    disp = jax.random.randint(k0, (Hp, Wp), lower, upper + 1,
+                              dtype=jnp.int32)
+    # init: probe against +inf adopts each pixel's own cost
+    disp, cost = probe(cv_p, disp, disp,
+                       jnp.full((Hp, Wp), jnp.inf, jnp.float32), lower, D,
+                       interpret=interpret)
+
+    for it in range(n_iter):
+        row_fwd, col_fwd = _SWEEP_DIRS[it % 4]
+        dT, cT = sweep(cvT_p, jnp.swapaxes(disp, 0, 1),
+                       jnp.swapaxes(cost, 0, 1), lower, D, W,
+                       reverse=not row_fwd, interpret=interpret)
+        disp = jnp.swapaxes(dT, 0, 1)
+        cost = jnp.swapaxes(cT, 0, 1)
+        disp, cost = sweep(cv_p, disp, cost, lower, D, H,
+                           reverse=not col_fwd, interpret=interpret)
+        key, ks = jax.random.split(key)
+        keys = jax.random.split(ks, n_random)
+        for k in range(n_random):
+            cand = jax.random.randint(keys[k], (Hp, Wp), lower, upper + 1,
+                                      dtype=jnp.int32)
+            delta = ((cand - disp) * (k + 1)) // (n_random + 1)
+            cand = disp + delta
+            cand = jnp.where(cand == disp, disp + 1, cand)
+            disp, cost = probe(cv_p, cand, disp, cost, lower, D,
+                               interpret=interpret)
+    return disp[:H, :W].astype(disp_dtype)
+
+
 def patch_match_stereo(func: MatchingFunction, source_fv: jnp.ndarray,
                        target_fv: jnp.ndarray, search: SearchOffset1,
                        n_iter: int = 5, n_random: int = 4,
-                       key: jax.Array | None = None) -> jnp.ndarray:
+                       key: jax.Array | None = None,
+                       backend: str = "auto") -> jnp.ndarray:
     """1-D PatchMatch: returns the (H, W) disparity field (index-space, i.e.
     target at ``j + d``).  Feature volumes must be normalized for ``func``
     (`cachelessPatchMatch`, `patchmatch.h:561`).
+
+    ``backend``: 'pallas' (CV-backed sweep kernels — the cached on-demand
+    variant's semantics; pays a full aggregate_cost build, so it wins when
+    the volume is cheap — see the `patch_match` image wrapper, which feeds
+    a box-filter volume), 'xla' (cacheless scans), 'auto' (xla: for
+    feature-volume inputs the aggregation dominates).
     """
     if key is None:
         key = jax.random.PRNGKey(0)
+    if backend == "auto":
+        backend = "xla"
+    if backend == "pallas":
+        return _patch_match_stereo_cv(func, source_fv, target_fv, search,
+                                      n_iter, n_random, key,
+                                      interpret=jax.default_backend()
+                                      != "tpu")
     ev = _StereoEval(func, source_fv, target_fv)
     H, W, _ = source_fv.shape
 
@@ -317,6 +396,19 @@ def patch_match(func: MatchingFunction, img_or_fv_l, img_or_fv_r,
     (source = right)."""
     from .unfold import unfold
     from .cost_volume import normalize_feature_volume
+    if key is None:
+        key = jax.random.PRNGKey(0)
+    if h_radius is not None and jax.default_backend() == "tpu":
+        from .box_backend import supports_box
+        if supports_box(func):
+            # CV-backed fast path straight from images: the box-filter
+            # decomposition builds the volume in O(HWD) — far cheaper than
+            # aggregating from unfolded features
+            from .cost_volume import unfold_based_cost_volume
+            cv = unfold_based_cost_volume(func, img_or_fv_l, img_or_fv_r,
+                                          h_radius, v_radius, search)
+            return _patch_match_stereo_cv(func, None, None, search, n_iter,
+                                          n_random, key, cv=cv)
     if h_radius is not None:
         fv_l = normalize_feature_volume(func, unfold(h_radius, v_radius,
                                                      img_or_fv_l))

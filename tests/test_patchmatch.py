@@ -58,3 +58,67 @@ def test_patchmatch_flow_recovers_translation(rng):
     f = np.asarray(flow)[6:-6, 6:-6]
     good = (f[..., 0] == di) & (f[..., 1] == dj)
     assert good.mean() > 0.9
+
+
+def _np_sweep(cv, disp, cost, lower, reverse):
+    """Oracle: sequential propagation along axis 0 of a cost-oriented
+    (L, S, D) volume; ties accept, non-finite candidates reject."""
+    L, S, D = cv.shape
+    disp = disp.copy()
+    cost = cost.copy()
+    order = range(L - 2, -1, -1) if reverse else range(1, L)
+    step = 1 if reverse else -1
+    for l in order:
+        cand = disp[l + step]
+        k = cand - lower
+        sel = np.where((k >= 0) & (k < D),
+                       cv[l, np.arange(S), np.clip(k, 0, D - 1)], np.inf)
+        acc = np.isfinite(sel) & (sel <= cost[l])
+        disp[l] = np.where(acc, cand, disp[l])
+        cost[l] = np.where(acc, sel, cost[l])
+    return disp, cost
+
+
+def test_pallas_sweep_matches_numpy_oracle(rng):
+    from libstevi_tpu.ops.patchmatch_pallas import sweep, _round_up
+    L, S, D, lower = 21, 13, 9, -2
+    cv = rng.uniform(0, 5, (L, S, D)).astype(np.float32)
+    cv[rng.uniform(size=(L, S, D)) < 0.1] = np.inf   # some invalid entries
+    disp = rng.integers(lower, lower + D, (L, S)).astype(np.int32)
+    k = disp - lower
+    cost = np.take_along_axis(cv, k[..., None], -1)[..., 0]
+
+    Lp, Sp, Dp = _round_up(L, 8), _round_up(S, 8), _round_up(D, 128)
+    cv_p = np.pad(cv, ((0, Lp - L), (0, Sp - S), (0, Dp - D)),
+                  constant_values=np.inf)
+    d_p = np.pad(disp, ((0, Lp - L), (0, Sp - S)))
+    c_p = np.pad(cost, ((0, Lp - L), (0, Sp - S)), constant_values=np.inf)
+
+    for reverse in (False, True):
+        want_d, want_c = _np_sweep(cv, disp, cost, lower, reverse)
+        got_d, got_c = sweep(jnp.asarray(cv_p), jnp.asarray(d_p),
+                             jnp.asarray(c_p), lower, D, L, reverse,
+                             interpret=True)
+        np.testing.assert_array_equal(np.asarray(got_d)[:L, :S], want_d)
+        np.testing.assert_allclose(np.asarray(got_c)[:L, :S], want_c,
+                                   rtol=1e-6)
+
+
+def test_patchmatch_pallas_backend_quality(rng):
+    """The CV-backed fast path reaches the same quality as the cacheless
+    XLA path on the constant-disparity probe."""
+    from libstevi_tpu.ops.patchmatch import patch_match_stereo
+    from libstevi_tpu.ops import unfold
+    from libstevi_tpu.ops.cost_volume import normalize_feature_volume
+    base = rng.uniform(0.1, 1, (40, 56)).astype(np.float32)
+    true_d = 5
+    img_r = base
+    img_l = np.roll(base, true_d, axis=1)
+    func = MatchingFunction.ZNCC
+    fl = normalize_feature_volume(func, unfold(2, 2, jnp.asarray(img_l)))
+    fr = normalize_feature_volume(func, unfold(2, 2, jnp.asarray(img_r)))
+    disp = patch_match_stereo(func, fr, fl, SearchOffset1(0, 15),
+                              n_iter=5, n_random=4,
+                              key=jax.random.PRNGKey(7), backend="pallas")
+    inner = np.asarray(disp)[6:-6, 6:-6 - true_d]
+    assert (inner == true_d).mean() > 0.95
