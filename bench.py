@@ -44,19 +44,17 @@ def main():
     dt = (t21 - t1) / n_iter
     fps = 1.0 / dt
 
-    # Roofline: the pipeline is HBM-bandwidth bound.  Minimum traffic per
-    # frame (float32): CV write+read into SGM (2x), 8 direction passes each
-    # read CV + accumulate (streaming: ~2x per pass read+write of the sgm
-    # volume), WTA read.  Conservative lower bound: 4 full cost-volume
-    # sweeps of H*W*D*4 bytes.
-    H, W = args[0].shape
-    D = 120
-    bytes_min = 4 * (H * W * D * 4)
-    dev = jax.devices()[0]
-    # TPU v5e: ~819 GB/s HBM BW
-    hbm_bw = 819e9
-    t_roofline = bytes_min / hbm_bw
-    vs = t_roofline / dt
+    # Roofline: fraction of XLA's own cost-analysis bound achieved —
+    # max(bytes accessed / HBM BW, flops / peak) for the compiled frame
+    # (v5e: 819 GB/s, ~197 TFLOP/s f32).  The fused pipeline is
+    # VPU-compute bound, so the compute term is the binding one.
+    from libstevi_tpu.utils.profiling import (cost_analysis,
+                                              V5E_HBM_BYTES_PER_S,
+                                              V5E_PEAK_FLOPS_F32)
+    ca = cost_analysis(fn, *args)
+    t_roofline = max(float(ca.get("bytes accessed", 0)) / V5E_HBM_BYTES_PER_S,
+                     float(ca.get("flops", 0)) / V5E_PEAK_FLOPS_F32)
+    vs = t_roofline / dt if t_roofline > 0 else 0.0
 
     print(json.dumps({
         "metric": "dense ZNCC+SGM8+WTA+subpixel 480x640 D=120 frames/s/chip",

@@ -45,6 +45,18 @@ def main(argv=None):
     ap.add_argument("--gt", help="ground-truth disparity (.stevimg/.flo)")
     args = ap.parse_args(argv)
 
+    # persistent XLA compilation cache: repeat invocations at the same
+    # shapes skip the (minutes-long on first use) TPU compiles
+    import os
+    os.environ.setdefault(
+        "JAX_COMPILATION_CACHE_DIR",
+        os.path.join(os.path.expanduser("~"), ".cache", "libstevi_tpu_xla"))
+
+    for path, role in ((args.left, "left image"), (args.right, "right image"),
+                       (args.gt, "ground truth")):
+        if path and not __import__("os").path.exists(path):
+            ap.error(f"{role} not found: {path}")
+
     import jax.numpy as jnp
     from libstevi_tpu.core import MatchingFunction, MATCH_TRAITS, \
         ExtractionStrategy

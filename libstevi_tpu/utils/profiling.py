@@ -58,7 +58,9 @@ def device_time(fn, *args, iters: int = 20) -> float:
     t0 = time.perf_counter()
     np.asarray(chained(x0, 1 + iters).ravel()[0])
     t2 = time.perf_counter() - t0
-    return max((t2 - t1) / iters, 0.0)
+    # ops at/below timer resolution can yield a (noise) negative delta;
+    # floor at 1 ns so callers can divide by the result
+    return max((t2 - t1) / iters, 1e-9)
 
 
 def cost_analysis(fn, *args) -> dict:

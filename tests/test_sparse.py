@@ -136,3 +136,24 @@ class TestSparseChain:
         dy = k2[ci, 1] - k1[ri, 1]
         good = (np.abs(dx - shift) < 1.5) & (np.abs(dy) < 1.5)
         assert good.mean() >= 0.8
+
+
+def test_circular_fft_descriptor_rotation_invariant(rng):
+    """90-degree rotation maps each ring onto itself with a circular shift
+    (n_per_ring % 4 == 0), so the FFT-amplitude descriptor is unchanged
+    (`pointsDescriptors.h:525` family)."""
+    from libstevi_tpu.sparse.descriptors import circular_fft_descriptor
+    img = rng.uniform(0, 1, (48, 48)).astype(np.float32)
+    img_rot = np.rot90(img).copy()          # (i, j) -> (47 - j, i)
+    pts = np.array([[20.0, 30.0], [25.0, 17.0]], np.float32)
+    pts_rot = np.stack([47.0 - pts[:, 1], pts[:, 0]], -1)
+    d0 = np.asarray(circular_fft_descriptor(jnp.asarray(pts),
+                                            jnp.asarray(img)))
+    d1 = np.asarray(circular_fft_descriptor(jnp.asarray(pts_rot),
+                                            jnp.asarray(img_rot)))
+    np.testing.assert_allclose(d0, d1, rtol=1e-4, atol=1e-4)
+
+    # different content -> different descriptor (not trivially constant)
+    d2 = np.asarray(circular_fft_descriptor(
+        jnp.asarray(np.array([[10.0, 10.0]], np.float32)), jnp.asarray(img)))
+    assert np.abs(d0[0] - d2[0]).max() > 1e-3
