@@ -250,8 +250,9 @@ def _fused_step(prev, base, pout_add, P1, P2):
     inf_col = jnp.full(prev.shape[:-1] + (1,), _INF, jnp.float32)
     left = jnp.concatenate([inf_col, prev[:, :-1]], axis=-1)
     right = jnp.concatenate([prev[:, 1:], inf_col], axis=-1)
+    # one shared +P1 after the neighbor min (one fewer vector add)
     agg = jnp.minimum(jnp.minimum(prev, m + P2),
-                      jnp.minimum(left + P1, right + P1))
+                      jnp.minimum(left, right) + P1)
     adj = agg - m + pout_add
     return base + adj, adj
 
