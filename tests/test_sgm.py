@@ -145,3 +145,19 @@ def test_sgm_wta_truncated_fallback_chain(rng):
     np.testing.assert_array_equal(np.asarray(idx_f), np.asarray(idx))
     np.testing.assert_allclose(np.asarray(tcv_f), np.asarray(tcv),
                                rtol=1e-4, atol=1e-4)
+
+
+def test_fused_pallas_vmap_batches_exactly(rng):
+    """jax.vmap over the fused SGM+WTA composite == per-sample results
+    (the serving/batching path; pallas_call batching adds a grid dim)."""
+    import jax
+    from libstevi_tpu.ops import sgm_wta_truncated
+    cvb = jnp.asarray(rng.uniform(0, 3, (3, 12, 16, 6)).astype(np.float32))
+    f = lambda cv: sgm_wta_truncated(cv, 0.3, 1.1, n_directions=8,
+                                     backend="pallas")
+    idx_b, tcv_b = jax.vmap(f)(cvb)
+    for b in range(3):
+        i1, t1 = f(cvb[b])
+        np.testing.assert_array_equal(np.asarray(idx_b[b]), np.asarray(i1))
+        np.testing.assert_allclose(np.asarray(tcv_b[b]), np.asarray(t1),
+                                   rtol=1e-6)
