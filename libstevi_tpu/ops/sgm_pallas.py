@@ -258,17 +258,41 @@ def _fused_step(prev, base, pout_add, P1, P2):
 
 
 def _fused_rows_kernel(*refs, RC, Wp, Dp, H1, W1, ml, W_pout, P1, P2, Pout,
-                       reverse, diag, accumulate):
+                       reverse, diag, accumulate, with_carries, H_corner):
     """One streaming pass over rows carrying the vertical direction and (with
     `diag`) both diagonal families.  Carries are (Wp, Dp) VMEM scratch tiles
     persisting across grid steps; diagonal carries shift by one sublane per
     row (the inserted zero row IS the line-start state).  The reference's
     double-covered corner lines (`sgm.h:329-355`) become a per-row one-hot
-    column multiplier on the diagonal contributions."""
-    if accumulate:
-        cv_ref, acc_ref, out_ref, *carries = refs
+    column multiplier on the diagonal contributions.
+
+    With ``with_carries`` the pass runs as one SHARD of a row-distributed
+    image: initial carries come from (relayed) inputs, final carries are
+    emitted as outputs, an i0 scalar gives the shard's global row offset
+    for the corner-line masks, and ``H_corner`` is the GLOBAL image height
+    those masks use (== H1 single-chip)."""
+    n_carries = 3 if diag else 1
+    if with_carries:
+        if accumulate:
+            cv_ref, acc_ref, i0_ref = refs[:3]
+            rest = refs[3:]
+        else:
+            cv_ref, i0_ref = refs[:2]
+            acc_ref = None
+            rest = refs[2:]
+        cins = rest[:n_carries]
+        out_ref = rest[n_carries]
+        couts = rest[n_carries + 1:n_carries + 1 + n_carries]
+        carries = rest[n_carries + 1 + n_carries:]
+        i0 = i0_ref[0, 0]
     else:
-        cv_ref, out_ref, *carries = refs
+        if accumulate:
+            cv_ref, acc_ref, out_ref, *carries = refs
+        else:
+            cv_ref, out_ref, *carries = refs
+            acc_ref = None
+        cins = couts = None
+        i0 = 0
     if diag:
         cv_carry, cp_carry, cn_carry = carries
     else:
@@ -279,10 +303,16 @@ def _fused_rows_kernel(*refs, RC, Wp, Dp, H1, W1, ml, W_pout, P1, P2, Pout,
 
     @pl.when(h == 0)
     def _():
-        cv_carry[:] = jnp.zeros((Wp, Dp), jnp.float32)
-        if diag:
-            cp_carry[:] = jnp.zeros((Wp, Dp), jnp.float32)
-            cn_carry[:] = jnp.zeros((Wp, Dp), jnp.float32)
+        if with_carries:
+            cv_carry[:] = cins[0][:]
+            if diag:
+                cp_carry[:] = cins[1][:]
+                cn_carry[:] = cins[2][:]
+        else:
+            cv_carry[:] = jnp.zeros((Wp, Dp), jnp.float32)
+            if diag:
+                cp_carry[:] = jnp.zeros((Wp, Dp), jnp.float32)
+                cn_carry[:] = jnp.zeros((Wp, Dp), jnp.float32)
 
     cols = jax.lax.broadcasted_iota(jnp.int32, (Wp, 1), 0)
     dd = jax.lax.broadcasted_iota(jnp.int32, (Wp, Dp), 1)
@@ -300,12 +330,24 @@ def _fused_rows_kernel(*refs, RC, Wp, Dp, H1, W1, ml, W_pout, P1, P2, Pout,
     rows = range(RC - 1, -1, -1) if reverse else range(RC)
     for rr in rows:
         i = b * RC + rr
+        ig = i0 + i                       # global row (corner-line masks)
         base = cv_ref[rr]
-        ok = col_ok & (i < H1)
+        row_ok = i < H1
+        ok = col_ok & row_ok
+
+        def upd(prev, cur):
+            if with_carries:
+                # padded rows between shards are NOT image rows: the carry
+                # must pass through untouched (incl. NO diagonal shift) so
+                # the relay hands shard k's last-real-row state to shard
+                # k+1's first row exactly
+                return jnp.where(row_ok, jnp.where(col_ok, cur, 0.0), prev)
+            return jnp.where(ok, cur, 0.0)
+
         total = acc_ref[rr] if accumulate else jnp.zeros((Wp, Dp),
                                                          jnp.float32)
         cur, adj = _fused_step(c_v, base, pout_add, P1, P2)
-        c_v = jnp.where(ok, cur, 0.0)
+        c_v = upd(c_v, cur)
         total = total + adj
         if diag:
             # pos family (lines j - i = const): SE forward / NW reverse —
@@ -313,21 +355,28 @@ def _fused_rows_kernel(*refs, RC, Wp, Dp, H1, W1, ml, W_pout, P1, P2, Pout,
             shift = (jnp.concatenate([zrow, c_p[:-1]], 0) if not reverse
                      else jnp.concatenate([c_p[1:], zrow], 0))
             cur, adj = _fused_step(shift, base, pout_add, P1, P2)
-            c_p = jnp.where(ok, cur, 0.0)
-            cj = i if not reverse else (W1 - H1 + i)
+            c_p = upd(c_p, cur)
+            cj = ig if not reverse else (W1 - H_corner + ig)
             total = total + adj * (1.0 + (cols == cj).astype(jnp.float32))
             # neg family (lines i + j = const): SW forward / NE reverse
             shift = (jnp.concatenate([c_n[1:], zrow], 0) if not reverse
                      else jnp.concatenate([zrow, c_n[:-1]], 0))
             cur, adj = _fused_step(shift, base, pout_add, P1, P2)
-            c_n = jnp.where(ok, cur, 0.0)
-            cj = (W1 - 1 - i) if not reverse else (H1 - 1 - i)
+            c_n = upd(c_n, cur)
+            cj = (W1 - 1 - ig) if not reverse else (H_corner - 1 - ig)
             total = total + adj * (1.0 + (cols == cj).astype(jnp.float32))
         out_ref[rr] = total
     cv_carry[:] = c_v
     if diag:
         cp_carry[:] = c_p
         cn_carry[:] = c_n
+    if with_carries:
+        @pl.when(h == n - 1)
+        def _():
+            couts[0][:] = c_v
+            if diag:
+                couts[1][:] = c_p
+                couts[2][:] = c_n
 
 
 def _fused_cols_kernel(*refs, CC, Dp, W1, ml, W_pout, P1, P2, Pout, reverse):
@@ -450,7 +499,8 @@ def sgm_fused_adj(region: jnp.ndarray, ml: int, W_pout: int, P1: float,
     cv_p = jnp.pad(cv_p, ((0, Hp - H1), (0, Wp - W1), (0, 0)))
 
     kw = dict(Wp=Wp, Dp=Dp, H1=H1, W1=W1, ml=ml, W_pout=W_pout,
-              P1=float(P1), P2=float(P2), Pout=float(Pout), diag=diag)
+              P1=float(P1), P2=float(P2), Pout=float(Pout), diag=diag,
+              with_carries=False, H_corner=H1)
     n_chunks = Hp // RC
     spec_f = pl.BlockSpec((RC, Wp, Dp), lambda h: (h, 0, 0),
                           memory_space=pltpu.VMEM)
@@ -538,3 +588,100 @@ def sgm_direction_pair(cv_lines: jnp.ndarray, *, W_img: int, W_pout: int,
     adj = _pass_on_padded(cv_p, H, L, reverse=True, corner=corner_bwd,
                           acc=adj, **kw)
     return adj[:H, :L, :D]
+
+
+# ---------------------------------------------------------------------------
+# Row-shard drivers (distributed SGM: carry injection/extraction per shard)
+# ---------------------------------------------------------------------------
+
+def sgm_shard_dims(H1: int, W1: int, D: int):
+    """Padded dims shared by all shard passes: (Hp, Wp, Dp, RC, RT, CC)."""
+    Dp = _round_up(D, 128)
+    CC = 8
+    Wp = _round_up(_round_up(W1, 8), CC)
+    RC = 4
+    RT = min(128, _round_up(H1, 8))
+    Hp = _round_up(H1, RT)
+    return Hp, Wp, Dp, RC, RT, CC
+
+
+def pad_shard_volume(region: jnp.ndarray) -> jnp.ndarray:
+    """Pad a (H1, W1, D) block to the shard-kernel layout (+inf lanes,
+    zero rows/cols)."""
+    H1, W1, D = region.shape
+    Hp, Wp, Dp, _, _, _ = sgm_shard_dims(H1, W1, D)
+    cv_p = jnp.pad(region.astype(jnp.float32),
+                   ((0, 0), (0, 0), (0, Dp - D)), constant_values=jnp.inf)
+    return jnp.pad(cv_p, ((0, Hp - H1), (0, Wp - W1), (0, 0)))
+
+
+def sgm_rows_shard_pass(cv_p: jnp.ndarray, acc, carries, i0, *, H1: int,
+                        W1: int, H_img: int, ml: int, W_pout: int,
+                        P1: float, P2: float, Pout: float, reverse: bool,
+                        diag: bool, interpret: bool = False):
+    """One shard's down (or up) pass with carry injection: ``carries`` is a
+    tuple of 1 (vertical) or 3 (vertical + both diagonal families) padded
+    (Wp, Dp) arrays relayed from the neighbouring shard; ``i0`` is the
+    shard's global starting row (int32 scalar) and ``H_img`` the global
+    image height (for the double-covered corner-line masks).  Returns
+    (adj_or_acc, carries_out)."""
+    Hp, Wp, Dp = cv_p.shape
+    _, _, _, RC, _, _ = sgm_shard_dims(H1, W1, Dp)
+    n_chunks = Hp // RC
+    n_car = 3 if diag else 1
+    if reverse:
+        spec = pl.BlockSpec((RC, Wp, Dp), lambda h: (n_chunks - 1 - h, 0, 0),
+                            memory_space=pltpu.VMEM)
+    else:
+        spec = pl.BlockSpec((RC, Wp, Dp), lambda h: (h, 0, 0),
+                            memory_space=pltpu.VMEM)
+    car_spec = pl.BlockSpec((Wp, Dp), lambda h: (0, 0),
+                            memory_space=pltpu.VMEM)
+    smem_spec = pl.BlockSpec((1, 1), lambda h: (0, 0),
+                             memory_space=pltpu.SMEM)
+    kernel = functools.partial(
+        _fused_rows_kernel, RC=RC, Wp=Wp, Dp=Dp, H1=H1, W1=W1, ml=ml,
+        W_pout=W_pout, P1=float(P1), P2=float(P2), Pout=float(Pout),
+        reverse=reverse, diag=diag, accumulate=acc is not None,
+        with_carries=True, H_corner=H_img)
+
+    in_specs = [spec] + ([spec] if acc is not None else []) \
+        + [smem_spec] + [car_spec] * n_car
+    args = ((cv_p,) + ((acc,) if acc is not None else ())
+            + (jnp.asarray(i0, jnp.int32).reshape(1, 1),) + tuple(carries))
+    aliases = {1: 0} if acc is not None else {}
+    outs = pl.pallas_call(
+        kernel, grid=(n_chunks,), in_specs=in_specs,
+        out_specs=[spec] + [car_spec] * n_car,
+        out_shape=([jax.ShapeDtypeStruct((Hp, Wp, Dp), jnp.float32)]
+                   + [jax.ShapeDtypeStruct((Wp, Dp), jnp.float32)] * n_car),
+        scratch_shapes=[pltpu.VMEM((Wp, Dp), jnp.float32)] * n_car,
+        input_output_aliases=aliases,
+        interpret=interpret)(*args)
+    return outs[0], tuple(outs[1:])
+
+
+def sgm_cols_shard_pass(cv_p: jnp.ndarray, acc, *, H1: int, W1: int,
+                        ml: int, W_pout: int, P1: float, P2: float,
+                        Pout: float, reverse: bool,
+                        interpret: bool = False):
+    """One shard's horizontal pass (fully local — the scan axis W is not
+    sharded), accumulating onto ``acc``."""
+    Hp, Wp, Dp = cv_p.shape
+    _, _, _, _, RT, CC = sgm_shard_dims(H1, W1, Dp)
+    nwc = Wp // CC
+    if reverse:
+        spec = pl.BlockSpec((RT, CC, Dp), lambda r, w: (r, nwc - 1 - w, 0),
+                            memory_space=pltpu.VMEM)
+    else:
+        spec = pl.BlockSpec((RT, CC, Dp), lambda r, w: (r, w, 0),
+                            memory_space=pltpu.VMEM)
+    kernel = functools.partial(
+        _fused_cols_kernel, CC=CC, Dp=Dp, W1=W1, ml=ml, W_pout=W_pout,
+        P1=float(P1), P2=float(P2), Pout=float(Pout), reverse=reverse)
+    return pl.pallas_call(
+        kernel, grid=(Hp // RT, nwc), in_specs=[spec, spec],
+        out_specs=spec,
+        out_shape=jax.ShapeDtypeStruct((Hp, Wp, Dp), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((RT, Dp), jnp.float32)],
+        input_output_aliases={1: 0}, interpret=interpret)(cv_p, acc)

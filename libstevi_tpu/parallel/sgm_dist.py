@@ -113,3 +113,69 @@ def distributed_sgm(cv_local: jnp.ndarray, P1: float, P2: float,
     sgm = sgm + _vertical_relay(cv_local, False, P1, P2, Pout, axis_name)
     sgm = sgm + _vertical_relay(cv_local, True, P1, P2, Pout, axis_name)
     return sgm
+
+
+def distributed_sgm_fused(cv_local: jnp.ndarray, P1: float, P2: float,
+                          Pout: float = 100.0, axis_name: str = "tile",
+                          n_directions: int = 8,
+                          interpret: bool | None = None) -> jnp.ndarray:
+    """8-direction SGM on a row-sharded (H_loc, W, D) block using the fused
+    Pallas kernels per shard (`sgm_pallas.sgm_rows_shard_pass`): the
+    vertical AND diagonal carries relay shard-to-shard with `ppermute`
+    (down-scan top-to-bottom, up-scan bottom-to-top; each shard's kernel
+    passes carries through its padded rows untouched so the hand-off is
+    exact), horizontals run fully local.  Exact vs the single-chip
+    `sgm_cost_volume(..., n_directions=8)` with zero margins.  Call inside
+    `shard_map` with equal row blocks."""
+    from ..ops.sgm_pallas import (pad_shard_volume, sgm_rows_shard_pass,
+                                  sgm_cols_shard_pass, sgm_shard_dims)
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    cv_local = cv_local.astype(jnp.float32)
+    H1, W1, D = cv_local.shape
+    diag = n_directions >= 8
+    n = jax.lax.axis_size(axis_name)
+    me = jax.lax.axis_index(axis_name)
+    H_img = H1 * n
+    i0 = me * H1
+    cv_p = pad_shard_volume(cv_local)
+    Hp, Wp, Dp, _, _, _ = sgm_shard_dims(H1, W1, D)
+    n_car = 3 if diag else 1
+
+    def relay(acc, reverse):
+        my_turn = (n - 1 - me) if reverse else me
+        perm = ([(i, i - 1) for i in range(1, n)] if reverse
+                else [(i, i + 1) for i in range(n - 1)])
+
+        def step(state, s):
+            carries, acc = state
+
+            def run(ops):
+                carries, acc = ops
+                out, couts = sgm_rows_shard_pass(
+                    cv_p, acc, carries, i0, H1=H1, W1=W1, H_img=H_img,
+                    ml=0, W_pout=W1, P1=P1, P2=P2, Pout=Pout,
+                    reverse=reverse, diag=diag, interpret=interpret)
+                return tuple(couts), out
+
+            carries, acc = jax.lax.cond(s == my_turn, run,
+                                        lambda ops: ops, (carries, acc))
+            carries = tuple(jax.lax.ppermute(c, axis_name, perm)
+                            for c in carries)
+            return (carries, acc), None
+
+        zc = tuple(jnp.zeros((Wp, Dp), cv_p.dtype) for _ in range(n_car))
+        (_, acc), _ = jax.lax.scan(step, (zc, acc),
+                                   jnp.arange(n, dtype=jnp.int32))
+        return acc
+
+    adj = jnp.zeros_like(cv_p)
+    adj = relay(adj, reverse=False)
+    adj = relay(adj, reverse=True)
+    adj = sgm_cols_shard_pass(cv_p, adj, H1=H1, W1=W1, ml=0, W_pout=W1,
+                              P1=P1, P2=P2, Pout=Pout, reverse=False,
+                              interpret=interpret)
+    adj = sgm_cols_shard_pass(cv_p, adj, H1=H1, W1=W1, ml=0, W_pout=W1,
+                              P1=P1, P2=P2, Pout=Pout, reverse=True,
+                              interpret=interpret)
+    return cv_local + adj[:H1, :W1, :D]

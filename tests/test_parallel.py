@@ -103,3 +103,28 @@ def test_full_step_three_axis_mesh(rng):
         sgm = sgm_cost_volume(-cv, 0.1, 0.4, n_directions=4)
         want = np.asarray(extract_selected_index(sgm, ExtractionStrategy.COST))
         np.testing.assert_array_equal(got[b], want)
+
+
+def test_distributed_fused_sgm_matches_single_chip(rng):
+    """8- and 4-direction fused-kernel distributed SGM (carry relay incl.
+    both diagonal families) == single-chip `sgm_cost_volume`, including
+    shard heights that force padded kernel rows (H_loc=9 -> Hp=16, the
+    carry pass-through path)."""
+    import jax
+    from jax.sharding import PartitionSpec as P
+    from libstevi_tpu.ops.sgm import sgm_cost_volume
+    from libstevi_tpu.parallel.sgm_dist import distributed_sgm_fused
+
+    mesh4 = make_stereo_mesh(MeshSpec(tile=4), jax.devices()[:4])
+    for H, W, D, nd in [(32, 20, 7, 8), (36, 13, 5, 8), (36, 13, 5, 4)]:
+        cv = jnp.asarray(rng.uniform(0, 4, (H, W, D)).astype(np.float32))
+        want = np.asarray(sgm_cost_volume(cv, 0.3, 1.1, Pout=7.0,
+                                          n_directions=nd, backend="xla"))
+        f = jax.shard_map(
+            lambda c: distributed_sgm_fused(c, 0.3, 1.1, 7.0,
+                                            n_directions=nd,
+                                            interpret=True),
+            mesh=mesh4, in_specs=P("tile"), out_specs=P("tile"),
+            check_vma=False)
+        got = np.asarray(jax.jit(f)(cv))
+        np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
