@@ -99,10 +99,12 @@ def distributed_cost_volume_wta(mesh: Mesh, func: MatchingFunction,
 
 def distributed_dense_stereo_step(mesh: Mesh, func: MatchingFunction,
                                   h_radius: int, v_radius: int,
-                                  disp_width: int, P1: float, P2: float):
+                                  disp_width: int, P1: float, P2: float,
+                                  n_directions: int = 4):
     """The full distributed pipeline step: batched stereo pairs sharded over
     ``batch``, rows over ``tile``: box cost volume (halo exchange) ->
-    4-direction SGM (carry relay) -> WTA -> disparity map.
+    4/8-direction SGM (carry relay; 8 uses the fused Pallas kernels) ->
+    WTA -> disparity map.
 
     Input: (B, H, W) image batches; output (B, H, W) disparities.
     """
@@ -112,10 +114,19 @@ def distributed_dense_stereo_step(mesh: Mesh, func: MatchingFunction,
     def pair_fn(img_l, img_r):   # (H_loc, W) row shards of one pair
         cv = _local_cv_with_halo(func, img_l, img_r, h_radius, v_radius,
                                  disp_width, "tile")
-        if strategy is ExtractionStrategy.SCORE:
-            sgm = -distributed_sgm(-cv, P1, P2, axis_name="tile")
+        if n_directions >= 8:
+            # fused Pallas kernels per shard with vertical + diagonal
+            # carry relay (sgm_dist.distributed_sgm_fused)
+            from .sgm_dist import distributed_sgm_fused
+            run = lambda c: distributed_sgm_fused(c, P1, P2,
+                                                  axis_name="tile",
+                                                  n_directions=8)
         else:
-            sgm = distributed_sgm(cv, P1, P2, axis_name="tile")
+            run = lambda c: distributed_sgm(c, P1, P2, axis_name="tile")
+        if strategy is ExtractionStrategy.SCORE:
+            sgm = -run(-cv)
+        else:
+            sgm = run(cv)
         idx = _wta_last_tie(sgm, strategy)
         return (sign * idx).astype(disp_dtype)
 
@@ -129,7 +140,7 @@ def distributed_dense_stereo_step(mesh: Mesh, func: MatchingFunction,
 
 def distributed_full_step(mesh: Mesh, func: MatchingFunction, h_radius: int,
                           v_radius: int, disp_width: int, P1: float,
-                          P2: float):
+                          P2: float, n_directions: int = 4):
     """The flagship multi-chip step exercising every mesh axis:
 
       * ``batch`` — stereo pairs sharded (data parallel),
@@ -188,10 +199,19 @@ def distributed_full_step(mesh: Mesh, func: MatchingFunction, h_radius: int,
         # reassemble the full D axis (all_gather along dsh, ICI all-to-one)
         cv = jnp.moveaxis(jax.lax.all_gather(cv_loc, "dsh"), 0, 2)
         cv = cv.reshape(cv.shape[0], cv.shape[1], disp_width)
-        if strategy is ExtractionStrategy.SCORE:
-            sgm = -distributed_sgm(-cv, P1, P2, axis_name="tile")
+        if n_directions >= 8:
+            # fused Pallas kernels per shard with vertical + diagonal
+            # carry relay (sgm_dist.distributed_sgm_fused)
+            from .sgm_dist import distributed_sgm_fused
+            run = lambda c: distributed_sgm_fused(c, P1, P2,
+                                                  axis_name="tile",
+                                                  n_directions=8)
         else:
-            sgm = distributed_sgm(cv, P1, P2, axis_name="tile")
+            run = lambda c: distributed_sgm(c, P1, P2, axis_name="tile")
+        if strategy is ExtractionStrategy.SCORE:
+            sgm = -run(-cv)
+        else:
+            sgm = run(cv)
         idx = _wta_last_tie(sgm, strategy)
         return (sign * idx).astype(disp_dtype)
 

@@ -128,3 +128,28 @@ def test_distributed_fused_sgm_matches_single_chip(rng):
             check_vma=False)
         got = np.asarray(jax.jit(f)(cv))
         np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+
+def test_distributed_full_step_8dir_matches_single_chip(rng):
+    """The flagship multi-chip step with the fused 8-direction SGM ==
+    single-chip pipeline (batch x tile x dsh mesh)."""
+    mesh = make_stereo_mesh(MeshSpec(batch=2, tile=2, dsh=2),
+                            jax.devices()[:8])
+    B = 2
+    ls = jnp.asarray(rng.uniform(0.1, 1, (B, H, W)).astype(np.float32))
+    rs = jnp.asarray(rng.uniform(0.1, 1, (B, H, W)).astype(np.float32))
+    step = distributed_full_step(mesh, MatchingFunction.ZNCC, 1, 1, D,
+                                 P1=0.1, P2=0.5, n_directions=8)
+    got = np.asarray(step(ls, rs))
+
+    for b in range(B):
+        cv = unfold_based_cost_volume(MatchingFunction.ZNCC, ls[b], rs[b],
+                                      1, 1, D, backend="box")
+        sgm = sgm_cost_volume(cv, 0.1, 0.5, n_directions=8,
+                              strategy=ExtractionStrategy.SCORE,
+                              backend="xla")
+        want = np.asarray(extract_selected_index(
+            sgm, ExtractionStrategy.SCORE))
+        np.testing.assert_allclose(got[b], want, atol=1.0)
+        exact = (got[b] == want).mean()
+        assert exact > 0.99, exact
