@@ -8,20 +8,21 @@ along its axis and parallel across lines), `patchMatchSearch` (:234:
 nRandomSearch uniform candidates scaled toward the current solution by
 (k+1)/(nSearch+1), forced off the current value), `patchMatchImpl` (:450).
 
-TPU design: the reference's lazily-memoized on-demand cost volume
-(`on_demand_cost_volume.h:105-181`) does not map to SPMD — costs are
-recomputed per evaluation (the cacheless variant's semantics; FLOPs are
-cheap on TPU) from dense normalized feature volumes.  Row/column sweeps are
-`lax.scan`s along the scan axis carrying the updated line, vectorized across
-the perpendicular axis; random search evaluates all pixels' candidates in
-parallel with `jax.random`.  The RNG is counter-based (`jax.random`) rather
+TPU design — two backends:
+  * 'pallas' (`_patch_match_stereo_cv`): the reference's CACHED on-demand
+    volume semantics (`on_demand_cost_volume.h:330`) — the dense cost
+    volume is precomputed once (box backend from images) and propagation
+    runs as grid-sequential Pallas sweep kernels with fused probe updates
+    (`patchmatch_pallas`);
+  * 'xla' (cacheless): costs recomputed per evaluation from normalized
+    feature volumes; sweeps are `lax.scan`s carrying the updated line.
+Both accept ties and reject invalid candidates before comparison
+(`patchmatch.h:199-218`).  The RNG is counter-based (`jax.random`) rather
 than the reference's per-thread engines, so parity is statistical (same
 convergence quality), not bitwise.
 """
 
 from __future__ import annotations
-
-from typing import Union
 
 import jax
 import jax.numpy as jnp

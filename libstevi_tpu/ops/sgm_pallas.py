@@ -1,27 +1,25 @@
-"""Pallas TPU kernel for SGM directional passes.
+"""Pallas TPU kernels for SGM.
 
-One kernel covers all eight principal directions of `sgm.py`: vertical scans
-run on the volume directly, horizontal scans on its transpose, diagonal
-scans on its sheared layout.  Reverse orientations are folded into the
-kernel's block index map plus an in-block reversed row loop — no flipped
-copies of the volume are materialized, and forward/reverse share one padded
-volume.
+Primary path — the FUSED full-width kernels (`sgm_fused_adj`): the eight
+principal directions run in 4 streaming passes over one Dp-padded volume:
+  * down kernel: UP2DOWN + both down-diagonals, carried together in VMEM
+    scratch; diagonal carries advance by one-sublane shifts per row (the
+    inserted zero row IS the line-start state), so no sheared copies exist;
+  * up kernel: the three mirrored directions, alias-accumulating;
+  * horizontal fwd/rev: column-scanning grids (no transpose), the reverse
+    pass optionally fusing the tie-exact WTA + truncated-band extraction
+    (`_make_fused_cols_wta`).
+Total HBM traffic ~5 volume sweeps instead of ~20; the recurrence's
+isfinite guards drop out (agg <= min(prev) + P2 is always finite in the
+full-width layout).  `sgm_rows_shard_pass` exposes the same kernels with
+carry injection/extraction for the distributed relay
+(`parallel/sgm_dist.distributed_sgm_fused`).
 
-Kernel structure (per direction pass):
-  * grid = (col_tiles, row_chunks); the row-chunk axis is innermost, so grid
-    steps for one column tile are consecutive and the DP carry lives in a
-    VMEM scratch persisting across grid steps (reset at chunk 0).
-  * each grid step works on an (RC, TC, Dp) block (Pallas double-buffers the
-    HBM->VMEM streaming automatically), looping over its RC rows with
-    `fori_loop` and applying the O(D) min-shift recurrence on a (TC, Dp)
-    tile per row — pure VPU work on 128-lane-aligned tiles.
-  * Pout and shear-validity masks come from program ids + iota; no index
-    arrays are streamed.  Step-validity resets the carry to the line-start
-    state (0) over padded rows, so the first real pixel of a reverse pass
-    sees prev = 0 exactly like `sgm.py::_line_recurrence`.
-
-The disparity axis is padded to a multiple of 128 with +inf: the
-recurrence's isfinite guards keep padded lanes inert.
+Fallback path — the per-direction kernels (`sgm_direction_pair`): vertical
+on the volume, horizontal on its transpose, diagonals on Pallas-sheared
+layouts (`pallas_shear`); used when the full-width carries exceed VMEM
+(large W*D).  The disparity axis is padded to a multiple of 128 with +inf
+so the d+-1 shifts see +inf past D.
 """
 
 from __future__ import annotations

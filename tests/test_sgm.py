@@ -161,3 +161,13 @@ def test_fused_pallas_vmap_batches_exactly(rng):
         np.testing.assert_array_equal(np.asarray(idx_b[b]), np.asarray(i1))
         np.testing.assert_allclose(np.asarray(tcv_b[b]), np.asarray(t1),
                                    rtol=1e-6)
+
+
+def test_fused_dispatch_falls_back_when_carries_exceed_vmem():
+    """Shapes whose full-width carries cannot fit VMEM must return None
+    from the fused driver (the caller then uses the per-direction
+    kernels) — checked without running any kernel."""
+    from libstevi_tpu.ops.sgm_pallas import sgm_fused_adj
+    big = jnp.zeros((8, 2048, 640), jnp.float32)   # Wp*Dp*4 ~ 5.9 MB/carry
+    assert sgm_fused_adj(big, 0, 2048, 0.1, 0.5, 100.0, 8,
+                         vmem_budget=12 * 1024 * 1024) is None
