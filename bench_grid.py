@@ -1,0 +1,105 @@
+"""Secondary benchmark grid: the reference's SGM benchmark configurations
+(`test/benchmarks/benchmarkCrossCorrelationAlgorithms.cpp:290-293,370-401`:
+~SD image with D in {20, 160, 300}; HD with D = 320) plus the PatchMatch
+and hierarchical configs of `benchmarkStereoMatchingModels.cpp`.
+
+Prints one JSON line per configuration (device-chained timing).  The HD
+D=320 SGM exercises the per-direction fallback kernels (the full-width
+fused carries exceed VMEM there).
+"""
+
+import json
+import time
+
+import numpy as np
+
+
+def _timed(fn, args, n=10):
+    import jax
+    import jax.numpy as jnp
+
+    @jax.jit
+    def chained(l, r, k):
+        def body(_, lc):
+            out = fn(lc, r)
+            leaf = jax.tree_util.tree_leaves(out)[0]
+            return lc + 1e-12 * leaf.astype(jnp.float32).ravel()[0]
+        return jax.lax.fori_loop(0, k, body, l)
+
+    l, r = args
+    np.asarray(chained(l, r, 1).ravel()[0])
+    t0 = time.perf_counter()
+    np.asarray(chained(l, r, 1).ravel()[0])
+    t1 = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    np.asarray(chained(l, r, 1 + n).ravel()[0])
+    tn = time.perf_counter() - t0
+    return (tn - t1) / n
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    from libstevi_tpu.core import MatchingFunction, ExtractionStrategy
+    from libstevi_tpu.core.search import SearchOffset1
+    from libstevi_tpu.ops import unfold_based_cost_volume, sgm_wta_truncated
+    from libstevi_tpu.ops.patchmatch import patch_match
+    from libstevi_tpu.ops.hierarchical import hierarchical_truncated_cost_volume
+
+    rng = np.random.default_rng(0)
+
+    def pair(H, W):
+        return (jnp.asarray(rng.uniform(0, 1, (H, W)).astype(np.float32)),
+                jnp.asarray(rng.uniform(0, 1, (H, W)).astype(np.float32)))
+
+    def sgm_cfg(H, W, D):
+        def fn(l, r):
+            cv = unfold_based_cost_volume(MatchingFunction.ZNCC, l, r, 3, 3,
+                                          D, backend="box")
+            idx, _ = sgm_wta_truncated(cv, 0.1, 0.5, n_directions=8,
+                                       strategy=ExtractionStrategy.SCORE)
+            return idx
+        return fn
+
+    # NOTE: dense HD D=320 f32 materializes ~1.2 GB volumes whose SGM
+    # working set exceeds one v5e's 16 GB HBM (measured: 15.83/15.75 GB at
+    # compile) — the supported routes at that scale are the row-sharded
+    # distributed pipeline (parallel/) or the hierarchical matcher (the
+    # reference's own big-D mechanism, benchmarked below at HD).
+    configs = [("SGM8 ZNCC SD D=20", 480, 640, sgm_cfg(480, 640, 20)),
+               ("SGM8 ZNCC SD D=160", 480, 640, sgm_cfg(480, 640, 160)),
+               ("SGM8 ZNCC SD D=300", 480, 640, sgm_cfg(480, 640, 300))]
+
+    for name, H, W, fn in configs:
+        dt = _timed(fn, pair(H, W))
+        print(json.dumps({"metric": name, "value": round(1.0 / dt, 2),
+                          "unit": "frames/s",
+                          "ms": round(dt * 1e3, 2)}), flush=True)
+
+    l, r = pair(480, 640)
+    dt = _timed(lambda a, b: patch_match(
+        MatchingFunction.NCC, a, b, SearchOffset1(0, 119), h_radius=3,
+        v_radius=3, n_iter=5, n_random=4,
+        key=jax.random.PRNGKey(0)).astype(jnp.float32), (l, r), n=5)
+    print(json.dumps({"metric": "PatchMatch NCC r=3 D=120 5it",
+                      "value": round(1.0 / dt, 2), "unit": "frames/s",
+                      "ms": round(dt * 1e3, 2)}), flush=True)
+
+    dt = _timed(lambda a, b: hierarchical_truncated_cost_volume(
+        MatchingFunction.ZNCC, a, b, 3, 3, 120, depth=2
+    ).disp_estimate.astype(jnp.float32), (l, r), n=5)
+    print(json.dumps({"metric": "Hierarchical ZNCC depth-2 D=120",
+                      "value": round(1.0 / dt, 2), "unit": "frames/s",
+                      "ms": round(dt * 1e3, 2)}), flush=True)
+
+    lh, rh = pair(720, 1280)
+    dt = _timed(lambda a, b: hierarchical_truncated_cost_volume(
+        MatchingFunction.ZNCC, a, b, 3, 3, 320, depth=3
+    ).disp_estimate.astype(jnp.float32), (lh, rh), n=5)
+    print(json.dumps({"metric": "Hierarchical ZNCC HD depth-3 D=320",
+                      "value": round(1.0 / dt, 2), "unit": "frames/s",
+                      "ms": round(dt * 1e3, 2)}), flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -329,40 +329,12 @@ def _cost_mode_pass(cv: jnp.ndarray, ii, jj, active, P1: float, P2: float,
 # ---------------------------------------------------------------------------
 
 def _pallas_adj(region, ml, P1, P2, Pout, W, n_directions):
-    """All principal-direction contributions via the Pallas kernels
-    (`sgm_pallas.py`): the fused full-width kernels when the carries fit
-    VMEM (4 streaming passes total), else the per-direction path (vertical
-    on the volume, horizontal on its transpose, diagonals on sheared
-    layouts)."""
-    from .sgm_pallas import sgm_direction_pair, sgm_fused_adj
-    H1, W1, D = region.shape
-
-    fused = sgm_fused_adj(region, ml, W, P1, P2, Pout, n_directions)
-    if fused is not None:
-        return fused
-
-    def run(vol, shear, cf=None, cb=None):
-        return sgm_direction_pair(vol, W_img=W1, W_pout=W, ml=ml, P1=P1,
-                                  P2=P2, Pout=Pout, shear=shear,
-                                  corner_fwd=cf, corner_bwd=cb)
-
-    adj = run(region, "none")
-    cvt = jnp.swapaxes(region, 0, 1)
-    adj = adj + jnp.swapaxes(run(cvt, "step"), 0, 1)
-    if n_directions >= 8:
-        # diagonal shears as Pallas per-row shifted copies — the XLA
-        # flat-reshape shear relayouts cost ~25x more
-        from .sgm_pallas import pallas_shear, pallas_unshear, _round_up
-        Dp = _round_up(D, 128)
-        cv_dp = jnp.pad(region, ((0, 0), (0, 0), (0, Dp - D)),
-                        constant_values=jnp.inf)
-        Sp = pallas_shear(cv_dp, H1, W1, neg=False)
-        adj = adj + pallas_unshear(run(Sp, "pos", H1 - 1, W1 - 1),
-                                   H1, W1, neg=False)[..., :D]
-        Sn = pallas_shear(cv_dp, H1, W1, neg=True)
-        adj = adj + pallas_unshear(run(Sn, "neg", W1 - 1, H1 - 1),
-                                   H1, W1, neg=True)[..., :D]
-    return adj
+    """All principal-direction contributions via the fused Pallas kernels
+    (`sgm_pallas.sgm_fused_adj`; the large-shape mode drops the aliased
+    accumulation to fit VMEM).  Returns None when even that does not fit —
+    the caller uses the XLA scan groups."""
+    from .sgm_pallas import sgm_fused_adj
+    return sgm_fused_adj(region, ml, W, P1, P2, Pout, n_directions)
 
 
 # ---------------------------------------------------------------------------
@@ -395,9 +367,10 @@ def sgm_cost_volume(cv: jnp.ndarray, P1: float, P2: float,
     if region.shape[0] == 0 or region.shape[1] == 0:
         return cv
 
+    adj = None
     if backend == "pallas" and P2 >= P1:
         adj = _pallas_adj(region, ml, P1, P2, Pout, W, n_directions)
-    else:
+    if adj is None:
         adj = _horizontal_group(region, ml, P1, P2, Pout, W)
         adj = adj + _vertical_group(region, ml, P1, P2, Pout, W)
         if n_directions >= 8:

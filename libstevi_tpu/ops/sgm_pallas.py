@@ -15,11 +15,13 @@ full-width layout).  `sgm_rows_shard_pass` exposes the same kernels with
 carry injection/extraction for the distributed relay
 (`parallel/sgm_dist.distributed_sgm_fused`).
 
-Fallback path — the per-direction kernels (`sgm_direction_pair`): vertical
-on the volume, horizontal on its transpose, diagonals on Pallas-sheared
-layouts (`pallas_shear`); used when the full-width carries exceed VMEM
-(large W*D).  The disparity axis is padded to a multiple of 128 with +inf
-so the d+-1 shifts see +inf past D.
+Large shapes (e.g. HD D=320) use the separate-accumulation mode — down/up
+adj volumes summed in XLA instead of alias-accumulated — which halves the
+VMEM block count; shapes beyond even that fall back to `sgm.py`'s XLA scan
+groups.  The disparity axis is padded to a multiple of 128 with +inf so
+the d+-1 shifts see +inf past D.  `pallas_shear`/`_shift_rows` (per-row
+dynamic-slice relayouts, ~25x faster than XLA flat-reshape shears) remain
+as general utilities.
 """
 
 from __future__ import annotations
@@ -36,124 +38,6 @@ _INF = float("inf")
 
 def _round_up(x, m):
     return (x + m - 1) // m * m
-
-
-def _sgm_dir_kernel(*refs, RC, TC, Dp, H, W_lines, W_img, W_pout, P1, P2,
-                    Pout, reverse, shear, ml, corner, accumulate):
-    """One directional pass over a padded line-major volume.  `shear` in
-    {'none', 'step', 'pos', 'neg'} selects how the image column j derives
-    from (original row i, line c) for the Pout test and validity mask; with
-    `accumulate` the pass adds onto the aliased accumulator input."""
-    if accumulate:
-        cv_ref, acc_ref, adj_ref, carry_ref = refs
-    else:
-        cv_ref, adj_ref, carry_ref = refs
-        acc_ref = None
-    w = pl.program_id(0)
-    h = pl.program_id(1)
-    n_chunks = pl.num_programs(1)
-
-    @pl.when(h == 0)
-    def _():
-        carry_ref[:] = jnp.zeros((TC, Dp), jnp.float32)
-
-    dd = jax.lax.broadcasted_iota(jnp.int32, (TC, Dp), 1)
-    cols = w * TC + jax.lax.broadcasted_iota(jnp.int32, (TC, 1), 0)
-    b = (n_chunks - 1 - h) if reverse else h
-
-    def row_body(rr, carry):
-        # rr is a STATIC row index (the loop below is unrolled at trace
-        # time) so every VMEM access is a static slice
-        i = b * RC + rr           # original (padded) row index
-
-        base = cv_ref[rr]
-        prevf = jnp.where(jnp.isfinite(carry), carry, _INF)
-        m = jnp.min(prevf, axis=-1, keepdims=True)
-        left = jnp.concatenate(
-            [jnp.full((TC, 1), _INF), prevf[:, :-1]], axis=1)
-        right = jnp.concatenate(
-            [prevf[:, 1:], jnp.full((TC, 1), _INF)], axis=1)
-        agg = jnp.minimum(jnp.minimum(prevf, m + P2),
-                          jnp.minimum(left + P1, right + P1))
-
-        # step-validity: padded rows reset the carry to the line-start state
-        step_ok = (i >= 0) & (i < H)
-        if shear == "none":
-            # vertical scan: lines are image columns
-            j_img = ml + cols
-            valid = (cols < W_lines) & step_ok
-        elif shear == "step":
-            # horizontal scan on the transposed volume: the image column is
-            # the scan step, lines are image rows
-            j_img = jnp.full((TC, 1), ml, jnp.int32) + i
-            valid = (cols < W_lines) & step_ok
-        elif shear == "pos":
-            j_img = ml + cols - (H - 1) + i
-            valid = ((j_img >= ml) & (j_img < ml + W_img)
-                     & (cols < W_lines) & step_ok)
-        else:  # 'neg'
-            j_img = ml + cols - i
-            valid = ((j_img >= ml) & (j_img < ml + W_img)
-                     & (cols < W_lines) & step_ok)
-
-        # Pout penalizes disparity indices pointing out of the FULL volume
-        # width (`sgm.h:247`: j + nd >= cv_shape[1])
-        agg = agg + jnp.where(j_img + dd >= W_pout, Pout, 0.0)
-
-        adj = jnp.where(jnp.isfinite(agg) & jnp.isfinite(m), agg - m, 0.0)
-        cur = base + adj
-        adj = jnp.where(valid, adj, 0.0)
-        cur = jnp.where(valid, cur, 0.0)
-        if corner is not None:
-            adj = adj * jnp.where(cols == corner, 2.0, 1.0)
-        if accumulate:
-            adj_ref[rr] = acc_ref[rr] + adj
-        else:
-            adj_ref[rr] = adj
-        return cur
-
-    carry = carry_ref[:]
-    rows = range(RC - 1, -1, -1) if reverse else range(RC)
-    for rr in rows:
-        carry = row_body(rr, carry)
-    carry_ref[:] = carry
-
-
-def _pass_on_padded(cv_p, H, L, *, W_img, W_pout, ml, P1, P2, Pout, reverse,
-                    shear, corner, RC, TC, acc=None):
-    Hp, Lp, Dp = cv_p.shape
-    kernel = functools.partial(
-        _sgm_dir_kernel, RC=RC, TC=TC, Dp=Dp, H=H, W_lines=L, W_img=W_img,
-        W_pout=W_pout, P1=float(P1), P2=float(P2), Pout=float(Pout),
-        reverse=reverse, shear=shear, ml=ml, corner=corner,
-        accumulate=acc is not None)
-
-    n_chunks = Hp // RC
-    if reverse:
-        index_map = lambda w, h: (n_chunks - 1 - h, w, 0)
-    else:
-        index_map = lambda w, h: (h, w, 0)
-
-    spec = pl.BlockSpec((RC, TC, Dp), index_map, memory_space=pltpu.VMEM)
-    if acc is None:
-        in_specs = [spec]
-        args = (cv_p,)
-        aliases = {}
-    else:
-        # the accumulator input aliases the output buffer: the pass adds its
-        # contribution in-place, eliminating a separate XLA add
-        in_specs = [spec, spec]
-        args = (cv_p, acc)
-        aliases = {1: 0}
-    return pl.pallas_call(
-        kernel,
-        grid=(Lp // TC, n_chunks),
-        in_specs=in_specs,
-        out_specs=spec,
-        out_shape=jax.ShapeDtypeStruct((Hp, Lp, Dp), jnp.float32),
-        scratch_shapes=[pltpu.VMEM((TC, Dp), jnp.float32)],
-        input_output_aliases=aliases,
-    )(*args)
 
 
 def _shift_rows_kernel(in_ref, out_ref, *, RC, W_out, start_base,
@@ -173,9 +57,12 @@ def _shift_rows_kernel(in_ref, out_ref, *, RC, W_out, start_base,
 
 
 def _shift_rows(x: jnp.ndarray, W_out: int, start_base: int,
-                start_slope: int, rc: int = 4) -> jnp.ndarray:
+                start_slope: int, rc: int = 4,
+                interpret: bool | None = None) -> jnp.ndarray:
     """Apply the per-row shifted-window copy; x is (H, W_in, Dp) with Dp a
     multiple of 128 and W_in >= W_out + max(start)."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
     H, W_in, Dp = x.shape
     Hp = _round_up(H, rc)
     if Hp != H:
@@ -193,6 +80,7 @@ def _shift_rows(x: jnp.ndarray, W_out: int, start_base: int,
         out_specs=pl.BlockSpec((rc, W_out, Dp), lambda h: (h, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((Hp, W_out, Dp), jnp.float32),
+        interpret=interpret,
     )(x)
     return out[:H]
 
@@ -224,9 +112,10 @@ def pallas_unshear(S: jnp.ndarray, H: int, W: int, neg: bool) -> jnp.ndarray:
 # Fused all-directions kernels (3 pallas_calls for the 8 principal directions)
 # ---------------------------------------------------------------------------
 #
-# The per-direction kernels above stream the volume 8+ times (plus shear /
-# transpose copies).  The fused design keeps full-width rows in VMEM and
-# carries ALL vertically-advancing directions at once:
+# A per-direction design (one kernel pass per direction over sheared /
+# transposed layouts) would stream the volume 8+ times; the fused design
+# keeps full-width rows in VMEM and carries ALL vertically-advancing
+# directions at once:
 #   * down kernel:  UP2DOWN + UPLEFT2DOWNRIGHT + UPRIGHT2DOWNLEFT, one
 #     top-to-bottom streaming pass; each diagonal's carry advances by a
 #     one-sublane shift per row (zeros shifted in = line starts), so no
@@ -472,16 +361,26 @@ def sgm_fused_adj(region: jnp.ndarray, ml: int, W_pout: int, P1: float,
     Dp = _round_up(D, 128)
     Wp = _round_up(W1, 8)
     u = Wp * Dp * 4
+    n_car = 3 if n_directions >= 8 else 1
     diag = n_directions >= 8
     RC = None
     for rc in (8, 4, 2, 1):
         # up-kernel worst case: 3 double-buffered (rc, Wp, Dp) blocks +
         # carries
-        if (3 if diag else 1) * u + 6 * rc * u <= vmem_budget:
+        if n_car * u + 6 * rc * u <= vmem_budget:
             RC = rc
             break
-    if RC is None:
-        return None
+    # large-shape mode: the alias-accumulating up kernel does not fit, but
+    # carries + 2 double-buffered blocks at rc=1 (+ ~4u of Mosaic stack
+    # temporaries for the per-row expressions) might — run down/up WITHOUT
+    # the accumulator input and add the two adj volumes in XLA instead.
+    # Shapes beyond ~11u (e.g. HD D=320 in f32) return None and take the
+    # XLA scan groups.
+    separate_rows = RC is None
+    if separate_rows:
+        if wta_radius is not None or 11 * u > vmem_budget + 3 * 2 ** 20:
+            return None
+        RC = 1
 
     RT = min(128, _round_up(H1, 8))
     CC = 8
@@ -519,8 +418,12 @@ def sgm_fused_adj(region: jnp.ndarray, ml: int, W_pout: int, P1: float,
             input_output_aliases={} if acc is None else {1: 0},
             interpret=interpret)(*args)
 
-    adj = rows_call(None, reverse=False)
-    adj = rows_call(adj, reverse=True)
+    if separate_rows:
+        adj = rows_call(None, reverse=False)
+        adj_up = rows_call(None, reverse=True)
+    else:
+        adj = rows_call(None, reverse=False)
+        adj = rows_call(adj, reverse=True)
 
     nwc = Wp // CC
     hspec_f = pl.BlockSpec((RT, CC, Dp), lambda r, w: (r, w, 0),
@@ -543,6 +446,8 @@ def sgm_fused_adj(region: jnp.ndarray, ml: int, W_pout: int, P1: float,
 
     if wta_radius is None:
         adj = cols_call(adj, reverse=True)
+        if separate_rows:
+            adj = adj + adj_up
         return adj[:H1, :W1, :D]
 
     r = wta_radius
@@ -561,31 +466,6 @@ def sgm_fused_adj(region: jnp.ndarray, ml: int, W_pout: int, P1: float,
     idx = outs[0].T[:H1, :W1]
     bands = jnp.stack([b.T[:H1, :W1] for b in outs[1:]], axis=-1)
     return idx, bands
-
-
-def sgm_direction_pair(cv_lines: jnp.ndarray, *, W_img: int, W_pout: int,
-                       ml: int, P1: float, P2: float, Pout: float, shear: str,
-                       corner_fwd: int | None = None,
-                       corner_bwd: int | None = None,
-                       rc: int = 32) -> jnp.ndarray:
-    """Forward + reverse DP passes over a line-major (H steps, L lines, D)
-    volume, sharing one padded copy; returns the summed adj contributions
-    (H, L, D)."""
-    H, L, D = cv_lines.shape
-    Dp = _round_up(D, 128)
-    TC = min(128, _round_up(L, 8))
-    Lp = _round_up(L, TC)
-    RC = rc
-    Hp = _round_up(H, RC)
-
-    cv_p = jnp.pad(cv_lines, ((0, Hp - H), (0, Lp - L), (0, Dp - D)),
-                   constant_values=jnp.inf)
-    kw = dict(W_img=W_img, W_pout=W_pout, ml=ml, P1=P1, P2=P2, Pout=Pout,
-              shear=shear, RC=RC, TC=TC)
-    adj = _pass_on_padded(cv_p, H, L, reverse=False, corner=corner_fwd, **kw)
-    adj = _pass_on_padded(cv_p, H, L, reverse=True, corner=corner_bwd,
-                          acc=adj, **kw)
-    return adj[:H, :L, :D]
 
 
 # ---------------------------------------------------------------------------

@@ -171,3 +171,33 @@ def test_fused_dispatch_falls_back_when_carries_exceed_vmem():
     big = jnp.zeros((8, 2048, 640), jnp.float32)   # Wp*Dp*4 ~ 5.9 MB/carry
     assert sgm_fused_adj(big, 0, 2048, 0.1, 0.5, 100.0, 8,
                          vmem_budget=12 * 1024 * 1024) is None
+
+
+def test_pallas_shear_roundtrip(rng):
+    """pallas_shear / pallas_unshear invert each other on image columns
+    (the per-row dynamic-slice relayout utility)."""
+    from libstevi_tpu.ops.sgm_pallas import (pallas_shear, pallas_unshear,
+                                             _round_up)
+    H_, W_, D_ = 10, 14, 5
+    Dp = _round_up(D_, 128)
+    cv = jnp.asarray(np.pad(
+        rng.uniform(0, 1, (H_, W_, D_)).astype(np.float32),
+        ((0, 0), (0, 0), (0, Dp - D_)), constant_values=np.inf))
+    for neg in (False, True):
+        S = pallas_shear(cv, H_, W_, neg=neg)
+        back = pallas_unshear(S, H_, W_, neg=neg)
+        np.testing.assert_array_equal(np.asarray(back), np.asarray(cv))
+
+
+def test_separate_accumulation_mode_matches(rng):
+    """Forcing the large-shape (no alias-accumulation) mode via a tiny
+    VMEM budget must give identical results to the normal fused mode."""
+    from libstevi_tpu.ops.sgm_pallas import sgm_fused_adj
+    cv = jnp.asarray(rng.uniform(0, 3, (12, 16, 6)).astype(np.float32))
+    want = sgm_fused_adj(cv, 0, 16, 0.3, 1.1, 7.0, 8, interpret=True)
+    # budget that admits rc=1 without the acc buffer but not with it:
+    # u = 16*128*4 = 8KB; acc mode needs 3u+6u = 72KB, separate 7u = 56KB
+    got = sgm_fused_adj(cv, 0, 16, 0.3, 1.1, 7.0, 8, interpret=True,
+                        vmem_budget=60 * 1024)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-6, atol=1e-6)
