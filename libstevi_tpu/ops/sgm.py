@@ -329,12 +329,15 @@ def _cost_mode_pass(cv: jnp.ndarray, ii, jj, active, P1: float, P2: float,
 # ---------------------------------------------------------------------------
 
 def _pallas_adj(region, ml, P1, P2, Pout, W, n_directions):
-    """All principal-direction contributions via the fused Pallas kernels
-    (`sgm_pallas.sgm_fused_adj`; the large-shape mode drops the aliased
-    accumulation to fit VMEM).  Returns None when even that does not fit —
-    the caller uses the XLA scan groups."""
-    from .sgm_pallas import sgm_fused_adj
-    return sgm_fused_adj(region, ml, W, P1, P2, Pout, n_directions)
+    """All principal-direction contributions via the Pallas kernels: the
+    fused full-width passes (`sgm_fused_adj`; the large-shape mode drops
+    the aliased accumulation), and beyond their VMEM reach the W-chunked
+    passes with edge-history relay (`sgm_chunked_adj`, e.g. HD D=320)."""
+    from .sgm_pallas import sgm_fused_adj, sgm_chunked_adj
+    adj = sgm_fused_adj(region, ml, W, P1, P2, Pout, n_directions)
+    if adj is None:
+        adj = sgm_chunked_adj(region, ml, W, P1, P2, Pout, n_directions)
+    return adj
 
 
 # ---------------------------------------------------------------------------

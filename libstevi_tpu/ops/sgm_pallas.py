@@ -563,3 +563,235 @@ def sgm_cols_shard_pass(cv_p: jnp.ndarray, acc, *, H1: int, W1: int,
         out_shape=jax.ShapeDtypeStruct((Hp, Wp, Dp), jnp.float32),
         scratch_shapes=[pltpu.VMEM((RT, Dp), jnp.float32)],
         input_output_aliases={1: 0}, interpret=interpret)(cv_p, acc)
+
+
+# ---------------------------------------------------------------------------
+# W-chunked passes (huge W*D: full-width carries cannot fit VMEM)
+# ---------------------------------------------------------------------------
+#
+# The full-width kernels need (Wp, Dp) carries resident; at e.g. HD D=320
+# (u ~ 2 MB) no fused variant fits the 16 MB VMEM.  Here the W axis is cut
+# into chunks processed by SEQUENTIAL pallas_calls; the diagonal carry that
+# crosses a chunk boundary is a per-row (Hp, Dp) "edge history" array the
+# producing chunk writes (its boundary column's post-row carry) and the
+# consuming chunk shifts in.  Chunk order follows the diagonal's horizontal
+# flow, so the 8 principal directions become 4 chunked row passes:
+#   P1 fwd  vertical + SE   chunks left->right   (hist: last col -> col 0)
+#   P2 fwd  SW              chunks right->left   (hist: first col -> last)
+#   P3 rev  vertical + NE   chunks left->right
+#   P4 rev  NW              chunks right->left
+# plus the (small-block, unchunked) horizontal passes.
+
+
+def _chunked_rows_kernel(*refs, RC, Dp, H1, Wc, c0, ml, W_pout,
+                         P1, P2, Pout, reverse, shift_down, corner_c0,
+                         corner_slope, with_vertical, with_diag,
+                         accumulate):
+    """One chunk of a diagonal(+vertical) pass.  ``shift_down`` means the
+    diagonal carry moves toward higher columns each row (SE on forward
+    scans, NE on reverse — both consume the LEFT neighbour chunk's edge
+    history); the mirror (SW / NW) consumes the RIGHT neighbour's.  The
+    double-covered corner line sits at global column
+    corner_c0 + corner_slope * i.  ``c0`` is the chunk's global first
+    column, ``Wc`` its real width."""
+    idx = 0
+    cv_ref = refs[idx]; idx += 1
+    acc_ref = None
+    if accumulate:
+        acc_ref = refs[idx]; idx += 1
+    hin_ref = refs[idx]; idx += 1
+    out_ref = refs[idx]; idx += 1
+    hout_ref = refs[idx]; idx += 1
+    carries = refs[idx:]
+    if with_vertical:
+        vcarry_ref, dcarry_ref = carries
+    else:
+        (dcarry_ref,) = carries
+
+    h = pl.program_id(0)
+    n = pl.num_programs(0)
+
+    @pl.when(h == 0)
+    def _():
+        dcarry_ref[:] = jnp.zeros_like(dcarry_ref)
+        if with_vertical:
+            vcarry_ref[:] = jnp.zeros_like(vcarry_ref)
+
+    CWp = dcarry_ref.shape[0]
+    cols = jax.lax.broadcasted_iota(jnp.int32, (CWp, 1), 0)
+    dd = jax.lax.broadcasted_iota(jnp.int32, (CWp, Dp), 1)
+    jg = ml + c0 + cols                       # global image column
+    pout_add = jnp.where(jg + dd >= W_pout,
+                         jnp.float32(Pout), jnp.float32(0.0))
+    col_ok = cols < Wc
+    b = (n - 1 - h) if reverse else h
+
+    c_d = dcarry_ref[:]
+    if with_vertical:
+        c_v = vcarry_ref[:]
+
+    rows = range(RC - 1, -1, -1) if reverse else range(RC)
+    for rr in rows:
+        i = b * RC + rr
+        base = cv_ref[rr]
+        ok = col_ok & (i < H1)
+        total = acc_ref[rr] if accumulate else jnp.zeros((CWp, Dp),
+                                                         jnp.float32)
+        if with_vertical:
+            cur, adj = _fused_step(c_v, base, pout_add, P1, P2)
+            c_v = jnp.where(ok, cur, 0.0)
+            total = total + adj
+        if with_diag:
+            hrow = hin_ref[rr].reshape(1, Dp)
+            if shift_down:
+                shift = jnp.concatenate([hrow, c_d[:-1]], 0)
+            else:
+                shift = jnp.concatenate([c_d[1:], hrow], 0)
+            cur, adj = _fused_step(shift, base, pout_add, P1, P2)
+            c_d = jnp.where(ok, cur, 0.0)
+            # the boundary column's post-row carry feeds the neighbour
+            # chunk: THIS chunk's last real column when shifting down, its
+            # first when shifting up (padded columns were zeroed by `ok`)
+            hout_ref[rr] = c_d[Wc - 1] if shift_down else c_d[0]
+            # double-covered corner line (`sgm.h:329-355`), global coords
+            cj = (corner_c0 + corner_slope * i) - c0
+            total = total + adj * (1.0 + (cols == cj).astype(jnp.float32))
+        else:
+            hout_ref[rr] = hin_ref[rr]
+        out_ref[rr] = total
+    dcarry_ref[:] = c_d
+    if with_vertical:
+        vcarry_ref[:] = c_v
+
+
+def _chunked_pass(cv_chunk, acc, hist, *, H1, Wc, c0, ml, W_pout, P1,
+                  P2, Pout, reverse, shift_down, corner_c0, corner_slope,
+                  with_vertical, with_diag, rc, interpret):
+    """One chunk invocation: returns (adj_chunk, hist_out)."""
+    Hp, CWp, Dp = cv_chunk.shape
+    n_chunks = Hp // rc
+    if reverse:
+        spec = pl.BlockSpec((rc, CWp, Dp), lambda h: (n_chunks - 1 - h, 0, 0),
+                            memory_space=pltpu.VMEM)
+        hspec = pl.BlockSpec((rc, Dp), lambda h: (n_chunks - 1 - h, 0),
+                             memory_space=pltpu.VMEM)
+    else:
+        spec = pl.BlockSpec((rc, CWp, Dp), lambda h: (h, 0, 0),
+                            memory_space=pltpu.VMEM)
+        hspec = pl.BlockSpec((rc, Dp), lambda h: (h, 0),
+                             memory_space=pltpu.VMEM)
+    kernel = functools.partial(
+        _chunked_rows_kernel, RC=rc, Dp=Dp, H1=H1, Wc=Wc, c0=c0,
+        ml=ml, W_pout=W_pout, P1=float(P1), P2=float(P2),
+        Pout=float(Pout), reverse=reverse, shift_down=shift_down,
+        corner_c0=corner_c0, corner_slope=corner_slope,
+        with_vertical=with_vertical, with_diag=with_diag,
+        accumulate=acc is not None)
+    in_specs = [spec] + ([spec] if acc is not None else []) + [hspec]
+    args = (cv_chunk,) + ((acc,) if acc is not None else ()) + (hist,)
+    scratch = [pltpu.VMEM((CWp, Dp), jnp.float32)] * (2 if with_vertical
+                                                      else 1)
+    out, hout = pl.pallas_call(
+        kernel, grid=(n_chunks,),
+        in_specs=in_specs, out_specs=[spec, hspec],
+        out_shape=[jax.ShapeDtypeStruct((Hp, CWp, Dp), jnp.float32),
+                   jax.ShapeDtypeStruct((Hp, Dp), jnp.float32)],
+        scratch_shapes=scratch,
+        input_output_aliases={1: 0} if acc is not None else {},
+        interpret=interpret)(*args)
+    return out, hout
+
+
+def sgm_chunked_adj(region: jnp.ndarray, ml: int, W_pout: int, P1: float,
+                    P2: float, Pout: float, n_directions: int,
+                    vmem_budget: int = 12 * 1024 * 1024,
+                    interpret: bool | None = None,
+                    cw_target: int | None = None):
+    """All principal-direction adj contributions for volumes whose
+    full-width carries exceed VMEM, via W-chunked sequential passes with
+    edge-history relay.  Exact vs `sgm_fused_adj` / the XLA groups."""
+    H1, W1, D = region.shape
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    Dp = _round_up(D, 128)
+    # chunk width: biggest multiple of 8 whose pass fits VMEM
+    # (2 carries + 3x2 blocks at rc + ~4 stack temps, all CW*Dp*4)
+    if cw_target is None:
+        cw_target = max(8, (vmem_budget // (12 * Dp * 4)) // 8 * 8)
+    CW = min(_round_up(W1, 8), _round_up(cw_target, 8))
+    Wp = _round_up(W1, CW)
+    n_w = Wp // CW
+    RC = 2 if 14 * CW * Dp * 4 <= vmem_budget + 3 * 2 ** 20 else 1
+    RT = min(128, _round_up(H1, 8))
+    Hp = _round_up(_round_up(H1, RT), RC)
+
+    cv_p = jnp.pad(region.astype(jnp.float32), ((0, 0), (0, 0), (0, Dp - D)),
+                   constant_values=jnp.inf)
+    cv_p = jnp.pad(cv_p, ((0, Hp - H1), (0, Wp - W1), (0, 0)))
+    chunks = [cv_p[:, w * CW:(w + 1) * CW] for w in range(n_w)]
+
+    kw = dict(H1=H1, ml=ml, W_pout=W_pout, P1=P1, P2=P2, Pout=Pout,
+              rc=RC, interpret=interpret)
+    adj = [None] * n_w
+    diag = n_directions >= 8
+
+    zrow = jnp.zeros((1, Dp), jnp.float32)
+
+    def run_pass(order, reverse, shift_down, corner, with_vertical):
+        hist = jnp.zeros((Hp, Dp), jnp.float32)
+        for w in order:
+            wc = min(CW, W1 - w * CW)
+            adj[w], hout = _chunked_pass(
+                chunks[w], adj[w], hist, Wc=wc, c0=w * CW,
+                reverse=reverse, shift_down=shift_down,
+                corner_c0=corner[0], corner_slope=corner[1],
+                with_vertical=with_vertical, with_diag=diag, **kw)
+            # the consumer at row i shifts in the producer's post-row state
+            # of row i-1 (i+1 on reverse scans) — shift the edge history by
+            # one row in the scan direction; the inserted zero row is the
+            # out-of-image line start
+            if reverse:
+                hist = jnp.concatenate([hout[1:], zrow], 0)
+            else:
+                hist = jnp.concatenate([zrow, hout[:-1]], 0)
+
+    # direction table (scan, carry shift, consumed edge -> chunk order,
+    # double-covered corner line j = c0 + slope*i):
+    #   SE fwd  shift-down left  L->R  j = i
+    #   SW fwd  shift-up   right R->L  j = W1-1-i
+    #   NE rev  shift-down left  L->R  j = H1-1-i
+    #   NW rev  shift-up   right R->L  j = i + (W1-H1)
+    # verticals ride the two left->right passes (chunk order irrelevant)
+    run_pass(range(n_w), False, True, (0, 1), True)
+    run_pass(range(n_w), True, True, (H1 - 1, -1), True)
+    if diag:
+        run_pass(reversed(range(n_w)), False, False, (W1 - 1, -1), False)
+        run_pass(reversed(range(n_w)), True, False, (W1 - H1, 1), False)
+
+    adj_full = jnp.concatenate(adj, axis=1)
+
+    # horizontal passes: small blocks, unchunked
+    CC = 8
+    while 6 * RT * CC * Dp * 4 + RT * Dp * 4 > vmem_budget and CC > 1:
+        CC //= 2
+    nwc = Wp // CC
+    hspec_f = pl.BlockSpec((RT, CC, Dp), lambda r, w: (r, w, 0),
+                           memory_space=pltpu.VMEM)
+    hspec_r = pl.BlockSpec((RT, CC, Dp), lambda r, w: (r, nwc - 1 - w, 0),
+                           memory_space=pltpu.VMEM)
+
+    def cols_call(acc_v, reverse):
+        spec = hspec_r if reverse else hspec_f
+        kernel = functools.partial(
+            _fused_cols_kernel, CC=CC, Dp=Dp, W1=W1, ml=ml, W_pout=W_pout,
+            P1=float(P1), P2=float(P2), Pout=float(Pout), reverse=reverse)
+        return pl.pallas_call(
+            kernel, grid=(Hp // RT, nwc), in_specs=[spec, spec],
+            out_specs=spec,
+            out_shape=jax.ShapeDtypeStruct((Hp, Wp, Dp), jnp.float32),
+            scratch_shapes=[pltpu.VMEM((RT, Dp), jnp.float32)],
+            input_output_aliases={1: 0}, interpret=interpret)(cv_p, acc_v)
+
+    adj_full = cols_call(adj_full, reverse=False)
+    adj_full = cols_call(adj_full, reverse=True)
+    return adj_full[:H1, :W1, :D]

@@ -201,3 +201,17 @@ def test_separate_accumulation_mode_matches(rng):
                         vmem_budget=60 * 1024)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=1e-6, atol=1e-6)
+
+
+@pytest.mark.parametrize("n_dirs,cw", [(8, 16), (8, 8), (4, 8)])
+def test_chunked_pallas_matches_xla(rng, n_dirs, cw):
+    """W-chunked passes with edge-history relay (the huge-W*D path) ==
+    the XLA scan groups, with forced small chunks."""
+    from libstevi_tpu.ops.sgm_pallas import sgm_chunked_adj
+    cv = _cv(rng, 12, 40, 6)
+    want = np.asarray(sgm_cost_volume(jnp.asarray(cv), 0.3, 1.1, Pout=7.0,
+                                      n_directions=n_dirs, backend="xla"))
+    adj = sgm_chunked_adj(jnp.asarray(cv), 0, 40, 0.3, 1.1, 7.0, n_dirs,
+                          interpret=True, cw_target=cw)
+    np.testing.assert_allclose(np.asarray(cv + adj), want,
+                               rtol=1e-4, atol=1e-4)
