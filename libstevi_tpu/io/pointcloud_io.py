@@ -5,8 +5,9 @@ access interfaces (`pointcloud_io.h:64-553`) collapse to a `PointCloud`
 dataclass (positions + named attribute arrays); `openPointCloud`
 (`pointcloud_io.h:815`) sniffs the format by extension.  Codecs:
   * LAS (`las_pointcloud_io.{h,cpp}`): native C++ codec
-    (`native/las_codec.cpp`, ctypes-bound) covering LAS 1.2-1.4 point
-    formats 0-3;
+    (`native/las_codec.cpp`, ctypes-bound) covering LAS 1.0-1.4, ALL
+    point formats 0-10, VLR/EVLR records and extra-bytes attributes;
+    streaming chunked access via `las_stream.LasReader`;
   * PCD (`pcd_pointcloud_io.{h,cpp}`): ascii + binary readers/writers;
   * attribute mapper/remover (`attributeMapper.h`, `attributeRemover.h`):
     `rename_attributes` / `drop_attributes`.
@@ -47,71 +48,24 @@ class PointCloud:
 # ---------------------------------------------------------------------------
 
 def read_las(path: str) -> PointCloud:
-    import ctypes
-    from ..native import las_library, LasInfo
-    lib = las_library()
-    info = LasInfo()
-    rc = lib.las_read_info(path.encode(), ctypes.byref(info))
-    if rc != 0:
-        raise IOError(f"not a LAS file ({rc}): {path}")
-    n = info.n_points
-    xyz = np.empty((n, 3), np.float64)
-    intensity = np.empty(n, np.uint16)
-    classification = np.empty(n, np.uint8)
-    has_gps = info.point_format == 1 or info.point_format >= 3
-    has_rgb = info.point_format in (2, 3, 5, 7, 8, 10)
-    gps = np.empty(n, np.float64) if has_gps else None
-    rgb = np.empty((n, 3), np.uint16) if has_rgb else None
-
-    def ptr(a):
-        return a.ctypes.data_as(ctypes.c_void_p) if a is not None else None
-
-    got = lib.las_read_points(path.encode(), ptr(xyz), ptr(intensity),
-                              ptr(classification), ptr(gps), ptr(rgb))
-    if got < 0:
-        raise IOError(f"LAS read failed ({got}): {path}")
-    attrs = {"intensity": intensity[:got],
-             "classification": classification[:got]}
-    if gps is not None:
-        attrs["gps_time"] = gps[:got]
-    if rgb is not None:
-        attrs["rgb"] = rgb[:got]
-    return PointCloud(xyz[:got], attrs)
+    """Full in-memory read via the streaming layer (`io/las_stream.py`):
+    all point formats 0-10, bit-fields split into attributes, extra-bytes
+    decoded per LASF_Spec descriptors."""
+    from .las_stream import LasReader
+    r = LasReader(path)
+    ch = r.read_chunk(0, r.n_points)
+    xyz = ch.pop("xyz")
+    return PointCloud(xyz, ch)
 
 
-def write_las(path: str, cloud: PointCloud, point_format: int | None = None
-              ) -> bool:
-    import ctypes
-    from ..native import las_library
-    lib = las_library()
-    xyz = np.ascontiguousarray(cloud.positions, np.float64)
-    n = len(xyz)
-    intensity = cloud.attributes.get("intensity")
-    classification = cloud.attributes.get("classification")
-    gps = cloud.attributes.get("gps_time")
-    rgb = cloud.attributes.get("rgb")
-    if point_format is None:
-        point_format = {(False, False): 0, (True, False): 1,
-                        (False, True): 2, (True, True): 3}[
-            (gps is not None, rgb is not None)]
-
-    def prep(a, dt):
-        return np.ascontiguousarray(a, dt) if a is not None else None
-
-    intensity = prep(intensity, np.uint16)
-    classification = prep(classification, np.uint8)
-    gps = prep(gps, np.float64)
-    rgb = prep(rgb, np.uint16)
-
-    def ptr(a):
-        return a.ctypes.data_as(ctypes.c_void_p) if a is not None else None
-
-    rc = lib.las_write_points(path.encode(), ptr(xyz), n, ptr(intensity),
-                              ptr(classification), ptr(gps), ptr(rgb),
-                              point_format)
-    if rc != 0:
-        raise IOError(f"LAS write failed ({rc}): {path}")
-    return True
+def write_las(path: str, cloud: PointCloud, point_format: int | None = None,
+              **kw) -> bool:
+    """Write any point format 0-10; non-standard attributes become
+    extra-bytes with auto-generated descriptors (`io/las_stream.py`)."""
+    from .las_stream import write_las_v2
+    return write_las_v2(path, np.ascontiguousarray(cloud.positions,
+                                                   np.float64),
+                        cloud.attributes, point_format=point_format, **kw)
 
 
 # ---------------------------------------------------------------------------

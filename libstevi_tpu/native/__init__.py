@@ -51,12 +51,42 @@ class LasInfo(ctypes.Structure):
         ("offset", ctypes.c_double * 3),
         ("mins", ctypes.c_double * 3),
         ("maxs", ctypes.c_double * 3),
+        ("n_vlrs", ctypes.c_uint32),
+        ("n_evlrs", ctypes.c_uint32),
+        ("start_of_evlrs", ctypes.c_uint64),
+        ("extra_bytes", ctypes.c_uint16),
+        ("file_source_id", ctypes.c_uint16),
+        ("global_encoding", ctypes.c_uint16),
+    ]
+
+
+class LasVlrMeta(ctypes.Structure):
+    _fields_ = [
+        ("user_id", ctypes.c_char * 17),
+        ("description", ctypes.c_char * 33),
+        ("record_id", ctypes.c_uint16),
+        ("payload_len", ctypes.c_uint64),
     ]
 
 
 def _configure_las(lib: ctypes.CDLL):
     lib.las_read_info.argtypes = [ctypes.c_char_p, ctypes.POINTER(LasInfo)]
     lib.las_read_info.restype = ctypes.c_int
+    lib.las_read_vlr_meta.argtypes = [ctypes.c_char_p, ctypes.c_int,
+                                      ctypes.POINTER(LasVlrMeta)]
+    lib.las_read_vlr_meta.restype = ctypes.c_int
+    lib.las_read_vlr_payload.argtypes = [ctypes.c_char_p, ctypes.c_int,
+                                         ctypes.c_char_p, ctypes.c_longlong]
+    lib.las_read_vlr_payload.restype = ctypes.c_longlong
+    lib.las_read_points_chunk.argtypes = [
+        ctypes.c_char_p, ctypes.c_uint64, ctypes.c_uint64] \
+        + [ctypes.c_void_p] * 12 + [ctypes.c_int]
+    lib.las_read_points_chunk.restype = ctypes.c_longlong
+    lib.las_write_points_v2.argtypes = [
+        ctypes.c_char_p, ctypes.c_longlong, ctypes.c_int] \
+        + [ctypes.c_void_p] * 12 + [ctypes.c_int, ctypes.c_int] \
+        + [ctypes.c_void_p] * 7
+    lib.las_write_points_v2.restype = ctypes.c_int
     lib.las_read_points.argtypes = [
         ctypes.c_char_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
         ctypes.c_void_p, ctypes.c_void_p]

@@ -1,19 +1,70 @@
-// Native LAS point-cloud codec.
+// Native LAS point-cloud codec (v2).
 //
 // Reference parity: `io/las_pointcloud_io.{h,cpp}` (2875 LoC) — LAS
-// 1.0-1.4 public header block, point records.  This codec covers the
-// common core: LAS 1.2-1.4 headers, point formats 0-3 (XYZ + intensity +
-// return info + classification, plus GPS time for 1/3 and RGB for 2/3),
-// with scale/offset application on read and synthesis on write.
+// 1.0-1.4 public header block (`las_pointcloud_io.h:26-197`), VLR/EVLR
+// records (`:199-330`), extra-bytes descriptors (`:332-487`), and ALL
+// point record formats 0-10 including wave packets.  Re-designed rather
+// than translated: the reference exposes per-point virtual accessors;
+// this codec decodes straight into caller-provided SOA (struct-of-array)
+// buffers so the Python side wraps every attribute zero-copy as numpy
+// arrays, and reads are *chunked* ((start, count) windows) so clouds
+// larger than RAM stream through fixed-size buffers.
 //
-// Exposed as a C ABI consumed through ctypes (`pointcloud_io.py`); all
-// bulk data moves as flat arrays so the Python side wraps it zero-copy.
+// Exposed as a C ABI consumed through ctypes (`io/las_stream.py`).
 
 #include <cstdint>
 #include <cstdio>
 #include <cstring>
 #include <cstdlib>
 #include <vector>
+
+namespace {
+
+// Standard point record lengths for formats 0-10 (LAS 1.4 spec).
+const uint16_t kFmtLen[11] = {20, 28, 26, 34, 57, 63, 30, 36, 38, 59, 67};
+
+struct FmtLayout {
+    bool new_fmt;        // formats 6-10: 16-bit scan angle, 4+4 returns
+    int cls_off;         // classification byte
+    int ret_off;         // return-info byte(s)
+    int scan_angle_off;  // i8 (legacy) or i16 (new)
+    int user_data_off;
+    int psid_off;        // point source id u16
+    int gps_off;         // -1 if absent
+    int rgb_off;         // -1 if absent
+    int nir_off;         // -1 if absent
+    int wave_off;        // -1 if absent (29-byte wave packet)
+};
+
+FmtLayout layout_for(int pf) {
+    FmtLayout L{};
+    L.new_fmt = pf >= 6;
+    if (!L.new_fmt) {
+        // 0: xyz(0) int(12) ret(14) cls(15) angle(16) user(17) psid(18)
+        L.ret_off = 14; L.cls_off = 15; L.scan_angle_off = 16;
+        L.user_data_off = 17; L.psid_off = 18;
+        L.gps_off = (pf == 1 || pf == 3 || pf == 4 || pf == 5) ? 20 : -1;
+        L.rgb_off = (pf == 2) ? 20 : (pf == 3 || pf == 5) ? 28 : -1;
+        L.nir_off = -1;
+        L.wave_off = (pf == 4) ? 28 : (pf == 5) ? 34 : -1;
+    } else {
+        // 6: xyz(0) int(12) ret(14) flags(15) cls(16) user(17) angle(18)
+        //    psid(20) gps(22) -> 30
+        L.ret_off = 14; L.cls_off = 16; L.user_data_off = 17;
+        L.scan_angle_off = 18; L.psid_off = 20; L.gps_off = 22;
+        L.rgb_off = (pf >= 7 && pf != 9) ? 30 : -1;
+        L.nir_off = (pf == 8 || pf == 10) ? 36 : -1;
+        L.wave_off = (pf == 9) ? 30 : (pf == 10) ? 38 : -1;
+    }
+    return L;
+}
+
+uint16_t rd_u16(const unsigned char* p) { uint16_t v; std::memcpy(&v, p, 2); return v; }
+uint32_t rd_u32(const unsigned char* p) { uint32_t v; std::memcpy(&v, p, 4); return v; }
+uint64_t rd_u64(const unsigned char* p) { uint64_t v; std::memcpy(&v, p, 8); return v; }
+double rd_f64(const unsigned char* p) { double v; std::memcpy(&v, p, 8); return v; }
+
+}  // namespace
 
 extern "C" {
 
@@ -29,104 +80,198 @@ struct LasInfo {
     double offset[3];
     double mins[3];
     double maxs[3];
+    uint32_t n_vlrs;
+    uint32_t n_evlrs;
+    uint64_t start_of_evlrs;
+    uint16_t extra_bytes;    // record_len - standard length for format
+    uint16_t file_source_id;
+    uint16_t global_encoding;
 };
-
-static uint64_t read_n_points(const unsigned char* h, uint8_t minor) {
-    uint32_t legacy;
-    std::memcpy(&legacy, h + 107, 4);
-    if (minor >= 4) {
-        uint64_t full;
-        std::memcpy(&full, h + 247, 8);
-        if (full > 0) return full;
-    }
-    return legacy;
-}
 
 int las_read_info(const char* path, LasInfo* info) {
     std::FILE* f = std::fopen(path, "rb");
     if (!f) return -1;
     unsigned char h[375];
     size_t n = std::fread(h, 1, sizeof(h), f);
-    if (n < 227 || std::memcmp(h, "LASF", 4) != 0) { std::fclose(f); return -2; }
+    std::fclose(f);
+    if (n < 227 || std::memcmp(h, "LASF", 4) != 0) return -2;
+    info->file_source_id = rd_u16(h + 4);
+    info->global_encoding = rd_u16(h + 6);
     info->version_major = h[24];
     info->version_minor = h[25];
-    uint16_t header_size;
-    std::memcpy(&header_size, h + 94, 2);
-    info->header_size = header_size;
-    uint32_t off;
-    std::memcpy(&off, h + 96, 4);
-    info->offset_to_points = off;
-    info->point_format = h[104] & 0x3F;  // mask compression bit
-    std::memcpy(&info->point_record_len, h + 105, 2);
-    info->n_points = read_n_points(h, info->version_minor);
+    info->header_size = rd_u16(h + 94);
+    info->offset_to_points = rd_u32(h + 96);
+    info->n_vlrs = rd_u32(h + 100);
+    info->point_format = h[104] & 0x3F;   // mask LAZ compression bit
+    info->point_record_len = rd_u16(h + 105);
+    uint32_t legacy = rd_u32(h + 107);
+    info->n_points = legacy;
     std::memcpy(info->scale, h + 131, 24);
     std::memcpy(info->offset, h + 155, 24);
-    // header stores max_x, min_x, max_y, min_y, max_z, min_z
     double mm[6];
     std::memcpy(mm, h + 179, 48);
     info->maxs[0] = mm[0]; info->mins[0] = mm[1];
     info->maxs[1] = mm[2]; info->mins[1] = mm[3];
     info->maxs[2] = mm[4]; info->mins[2] = mm[5];
-    std::fclose(f);
+    info->start_of_evlrs = 0;
+    info->n_evlrs = 0;
+    if (info->version_minor >= 4 && n >= 375) {
+        info->start_of_evlrs = rd_u64(h + 235);
+        info->n_evlrs = rd_u32(h + 243);
+        uint64_t full = rd_u64(h + 247);
+        if (full > 0) info->n_points = full;
+    }
+    if (info->point_format <= 10
+            && info->point_record_len >= kFmtLen[info->point_format])
+        info->extra_bytes =
+            info->point_record_len - kFmtLen[info->point_format];
+    else
+        info->extra_bytes = 0;
     return 0;
 }
 
-// Reads points into caller-allocated arrays (any pointer may be null to
-// skip that attribute).  Returns the number of points read, or < 0 on
-// error.
-long long las_read_points(const char* path, double* xyz,
-                          uint16_t* intensity, uint8_t* classification,
-                          double* gps_time, uint16_t* rgb) {
+// --- VLR / EVLR enumeration -------------------------------------------------
+//
+// Index space: [0, n_vlrs) are header VLRs, [n_vlrs, n_vlrs + n_evlrs) are
+// extended VLRs (LAS 1.4).  `las_vlr_meta` fills user_id (16 bytes,
+// NUL-padded), description (32 bytes), record_id and payload length.
+
+struct LasVlrMeta {
+    char user_id[17];
+    char description[33];
+    uint16_t record_id;
+    uint64_t payload_len;
+};
+
+static int vlr_seek(std::FILE* f, const LasInfo& info, int idx,
+                    LasVlrMeta* meta, uint64_t* payload_pos) {
+    bool extended = idx >= (int)info.n_vlrs;
+    int k = extended ? idx - (int)info.n_vlrs : idx;
+    uint64_t pos = extended ? info.start_of_evlrs : info.header_size;
+    const size_t head = extended ? 60 : 54;
+    unsigned char b[60];
+    for (int i = 0; ; i++) {
+        if (std::fseek(f, (long)pos, SEEK_SET) != 0) return -4;
+        if (std::fread(b, 1, head, f) != head) return -4;
+        uint64_t plen = extended ? rd_u64(b + 20) : rd_u16(b + 20);
+        if (i == k) {
+            std::memcpy(meta->user_id, b + 2, 16);
+            meta->user_id[16] = 0;
+            meta->record_id = rd_u16(b + 18);
+            std::memcpy(meta->description, b + (extended ? 28 : 22), 32);
+            meta->description[32] = 0;
+            meta->payload_len = plen;
+            *payload_pos = pos + head;
+            return 0;
+        }
+        pos += head + plen;
+    }
+}
+
+int las_read_vlr_meta(const char* path, int idx, LasVlrMeta* meta) {
+    LasInfo info;
+    int rc = las_read_info(path, &info);
+    if (rc != 0) return rc;
+    if (idx < 0 || idx >= (int)(info.n_vlrs + info.n_evlrs)) return -3;
+    std::FILE* f = std::fopen(path, "rb");
+    if (!f) return -1;
+    uint64_t pos;
+    rc = vlr_seek(f, info, idx, meta, &pos);
+    std::fclose(f);
+    return rc;
+}
+
+long long las_read_vlr_payload(const char* path, int idx, void* buf,
+                               long long cap) {
+    LasInfo info;
+    int rc = las_read_info(path, &info);
+    if (rc != 0) return rc;
+    if (idx < 0 || idx >= (int)(info.n_vlrs + info.n_evlrs)) return -3;
+    std::FILE* f = std::fopen(path, "rb");
+    if (!f) return -1;
+    LasVlrMeta meta;
+    uint64_t pos;
+    rc = vlr_seek(f, info, idx, &meta, &pos);
+    if (rc != 0) { std::fclose(f); return rc; }
+    uint64_t n = meta.payload_len;
+    if ((long long)n > cap) n = (uint64_t)cap;
+    if (std::fseek(f, (long)pos, SEEK_SET) != 0) { std::fclose(f); return -4; }
+    size_t got = std::fread(buf, 1, n, f);
+    std::fclose(f);
+    return (long long)got;
+}
+
+// --- chunked point reading --------------------------------------------------
+//
+// Decodes records [start, start + count) into SOA buffers; any pointer may
+// be null to skip the attribute.  `ret_info` receives the raw return byte
+// (formats 0-5) or the two return/flag bytes packed little-endian into
+// u16 (formats 6-10 — Python splits bit fields vectorized).  `extra`
+// receives `extra_len` raw trailing bytes per point (row-major).
+// Returns number of points decoded or < 0 on error.
+
+long long las_read_points_chunk(
+        const char* path, uint64_t start, uint64_t count,
+        double* xyz, uint16_t* intensity, uint16_t* ret_info,
+        uint8_t* classification, int16_t* scan_angle, uint8_t* user_data,
+        uint16_t* point_source_id, double* gps_time, uint16_t* rgb,
+        uint16_t* nir, uint8_t* wave, uint8_t* extra, int extra_len) {
     LasInfo info;
     int rc = las_read_info(path, &info);
     if (rc != 0) return rc;
     if (info.point_format > 10) return -3;
+    if (start >= info.n_points) return 0;
+    if (start + count > info.n_points) count = info.n_points - start;
+
+    const size_t rec = info.point_record_len;
+    const FmtLayout L = layout_for(info.point_format);
+    const int std_len = kFmtLen[info.point_format];
+    if (extra && extra_len > (int)(rec - std_len)) return -7;
 
     std::FILE* f = std::fopen(path, "rb");
     if (!f) return -1;
-    if (std::fseek(f, (long)info.offset_to_points, SEEK_SET) != 0) {
-        std::fclose(f); return -4;
-    }
+    if (std::fseek(f, (long)(info.offset_to_points + start * rec),
+                   SEEK_SET) != 0) { std::fclose(f); return -4; }
 
-    const size_t rec = info.point_record_len;
-    std::vector<unsigned char> buf(rec * 4096);
-    uint64_t remaining = info.n_points;
-    uint64_t idx = 0;
-
-    // Layouts: formats 0-3 (LAS <= 1.3) have classification at 15, gps at
-    // 20 (fmt 1/3), rgb at 20 (fmt 2) or 28 (fmt 3); formats 6-8 (LAS 1.4)
-    // have classification at 16, gps at 22, rgb at 30 (fmt 7/8).
-    // formats 4/5 are 1/3 + waveform packets (same prefix layout);
-    // formats 9/10 are 6/7 + waveform packets
-    const uint8_t pf = info.point_format;
-    const bool new_fmt = pf >= 6;
-    const bool has_gps = pf == 1 || pf >= 3;
-    const size_t cls_off = new_fmt ? 16 : 15;
-    const size_t gps_off = new_fmt ? 22 : 20;
-    const size_t rgb_off = (pf == 3 || pf == 5) ? 28
-                          : (pf == 2) ? 20
-                          : (pf == 7 || pf == 8 || pf == 10) ? 30 : 0;
-
+    const size_t kChunk = 65536;
+    std::vector<unsigned char> buf(rec * kChunk);
+    uint64_t remaining = count, idx = 0;
     while (remaining > 0) {
-        size_t chunk = remaining < 4096 ? (size_t)remaining : 4096;
-        size_t got = std::fread(buf.data(), rec, chunk, f);
+        size_t want = remaining < kChunk ? (size_t)remaining : kChunk;
+        size_t got = std::fread(buf.data(), rec, want, f);
         if (got == 0) break;
-        for (size_t k = 0; k < got; k++) {
+        for (size_t k = 0; k < got; k++, idx++) {
             const unsigned char* p = buf.data() + k * rec;
-            int32_t xi, yi, zi;
-            std::memcpy(&xi, p + 0, 4);
-            std::memcpy(&yi, p + 4, 4);
-            std::memcpy(&zi, p + 8, 4);
             if (xyz) {
+                int32_t xi, yi, zi;
+                std::memcpy(&xi, p + 0, 4);
+                std::memcpy(&yi, p + 4, 4);
+                std::memcpy(&zi, p + 8, 4);
                 xyz[3 * idx + 0] = xi * info.scale[0] + info.offset[0];
                 xyz[3 * idx + 1] = yi * info.scale[1] + info.offset[1];
                 xyz[3 * idx + 2] = zi * info.scale[2] + info.offset[2];
             }
-            if (intensity) std::memcpy(&intensity[idx], p + 12, 2);
-            if (classification) classification[idx] = p[cls_off];
-            if (gps_time && has_gps) std::memcpy(&gps_time[idx], p + gps_off, 8);
-            if (rgb && rgb_off) std::memcpy(&rgb[3 * idx], p + rgb_off, 6);
-            idx++;
+            if (intensity) intensity[idx] = rd_u16(p + 12);
+            if (ret_info)
+                ret_info[idx] = L.new_fmt ? rd_u16(p + L.ret_off)
+                                          : (uint16_t)p[L.ret_off];
+            if (classification) classification[idx] = p[L.cls_off];
+            if (scan_angle)
+                scan_angle[idx] = L.new_fmt
+                    ? (int16_t)rd_u16(p + L.scan_angle_off)
+                    : (int16_t)(int8_t)p[L.scan_angle_off];
+            if (user_data) user_data[idx] = p[L.user_data_off];
+            if (point_source_id) point_source_id[idx] = rd_u16(p + L.psid_off);
+            if (gps_time && L.gps_off >= 0)
+                gps_time[idx] = rd_f64(p + L.gps_off);
+            if (rgb && L.rgb_off >= 0)
+                std::memcpy(&rgb[3 * idx], p + L.rgb_off, 6);
+            if (nir && L.nir_off >= 0) nir[idx] = rd_u16(p + L.nir_off);
+            if (wave && L.wave_off >= 0)
+                std::memcpy(&wave[29 * idx], p + L.wave_off, 29);
+            if (extra && extra_len > 0)
+                std::memcpy(&extra[(size_t)extra_len * idx], p + std_len,
+                            extra_len);
         }
         remaining -= got;
     }
@@ -134,54 +279,118 @@ long long las_read_points(const char* path, double* xyz,
     return (long long)idx;
 }
 
-// Writes a LAS 1.2 file with the requested point format (0-3).
-int las_write_points(const char* path, const double* xyz, long long n,
-                     const uint16_t* intensity,
-                     const uint8_t* classification, const double* gps_time,
-                     const uint16_t* rgb, int point_format) {
-    if (point_format < 0 || point_format > 3) return -3;
-    static const uint16_t fmt_len[4] = {20, 28, 26, 34};
-    const uint16_t rec = fmt_len[point_format];
+// --- writer -----------------------------------------------------------------
+//
+// Single-pass writer for any point format 0-10 with optional extra bytes
+// and VLR/EVLR blocks.  VLR payloads arrive concatenated in `vlr_data`
+// with per-record metadata arrays; records with is_evlr[i] != 0 are
+// written as LAS 1.4 EVLRs after the points.  Writes version 1.2 headers
+// unless EVLRs / new formats (6-10) / >4G points force 1.4.
+
+int las_write_points_v2(
+        const char* path, long long n, int point_format,
+        const double* xyz, const uint16_t* intensity,
+        const uint16_t* ret_info, const uint8_t* classification,
+        const int16_t* scan_angle, const uint8_t* user_data,
+        const uint16_t* point_source_id, const double* gps_time,
+        const uint16_t* rgb, const uint16_t* nir, const uint8_t* wave,
+        const uint8_t* extra, int extra_len,
+        int n_vlr, const char* vlr_user_ids, const uint16_t* vlr_record_ids,
+        const char* vlr_descriptions, const uint64_t* vlr_payload_lens,
+        const uint8_t* vlr_data, const uint8_t* vlr_is_evlr,
+        const double* scale_in) {
+    if (point_format < 0 || point_format > 10) return -3;
+    if (extra_len < 0) return -3;
+    const FmtLayout L = layout_for(point_format);
+    const uint16_t rec = kFmtLen[point_format] + extra_len;
+    const int std_len = kFmtLen[point_format];
+
+    bool any_evlr = false;
+    uint64_t vlr_total = 0, evlr_total = 0;
+    int n_hdr_vlr = 0;
+    for (int i = 0; i < n_vlr; i++) {
+        if (vlr_is_evlr && vlr_is_evlr[i]) {
+            any_evlr = true;
+            evlr_total += 60 + vlr_payload_lens[i];
+        } else {
+            n_hdr_vlr++;
+            vlr_total += 54 + vlr_payload_lens[i];
+        }
+    }
+    const bool v14 = any_evlr || point_format >= 6
+        || (uint64_t)n > 0xFFFFFFFFull;
+    const uint16_t header_size = v14 ? 375 : 227;
 
     double mins[3] = {1e300, 1e300, 1e300};
     double maxs[3] = {-1e300, -1e300, -1e300};
-    for (long long i = 0; i < n; i++) {
+    for (long long i = 0; i < n; i++)
         for (int a = 0; a < 3; a++) {
             double v = xyz[3 * i + a];
             if (v < mins[a]) mins[a] = v;
             if (v > maxs[a]) maxs[a] = v;
         }
-    }
-    if (n == 0) { mins[0] = mins[1] = mins[2] = 0; maxs[0] = maxs[1] = maxs[2] = 0; }
+    if (n == 0)
+        for (int a = 0; a < 3; a++) { mins[a] = 0; maxs[a] = 0; }
     double scale[3] = {1e-4, 1e-4, 1e-4};
+    if (scale_in && scale_in[0] > 0)
+        std::memcpy(scale, scale_in, 24);
     double offset[3] = {mins[0], mins[1], mins[2]};
 
     std::FILE* f = std::fopen(path, "wb");
     if (!f) return -1;
-
-    unsigned char h[227];
-    std::memset(h, 0, sizeof(h));
-    std::memcpy(h, "LASF", 4);
-    h[24] = 1; h[25] = 2;                        // version 1.2
-    uint16_t header_size = 227;
-    std::memcpy(h + 94, &header_size, 2);
-    uint32_t off = 227;
-    std::memcpy(h + 96, &off, 4);
+    std::vector<unsigned char> h(header_size, 0);
+    std::memcpy(h.data(), "LASF", 4);
+    h[24] = 1; h[25] = v14 ? 4 : 2;
+    std::memcpy(h.data() + 94, &header_size, 2);
+    uint32_t off_pts = header_size + (uint32_t)vlr_total;
+    std::memcpy(h.data() + 96, &off_pts, 4);
+    uint32_t nv = (uint32_t)n_hdr_vlr;
+    std::memcpy(h.data() + 100, &nv, 4);
     h[104] = (uint8_t)point_format;
-    std::memcpy(h + 105, &rec, 2);
-    uint32_t n32 = (uint32_t)n;
-    std::memcpy(h + 107, &n32, 4);
-    std::memcpy(h + 111, &n32, 4);               // points by return [0]
-    std::memcpy(h + 131, scale, 24);
-    std::memcpy(h + 155, offset, 24);
+    std::memcpy(h.data() + 105, &rec, 2);
+    uint32_t n32 = ((uint64_t)n > 0xFFFFFFFFull || point_format >= 6)
+        ? 0u : (uint32_t)n;
+    std::memcpy(h.data() + 107, &n32, 4);
+    std::memcpy(h.data() + 111, &n32, 4);   // legacy points-by-return[0]
+    std::memcpy(h.data() + 131, scale, 24);
+    std::memcpy(h.data() + 155, offset, 24);
     double mm[6] = {maxs[0], mins[0], maxs[1], mins[1], maxs[2], mins[2]};
-    std::memcpy(h + 179, mm, 48);
-    if (std::fwrite(h, 1, sizeof(h), f) != sizeof(h)) { std::fclose(f); return -5; }
+    std::memcpy(h.data() + 179, mm, 48);
+    if (v14) {
+        uint64_t evlr_start = off_pts + (uint64_t)n * rec;
+        uint32_t ne = (uint32_t)(n_vlr - n_hdr_vlr);
+        std::memcpy(h.data() + 235, &evlr_start, 8);
+        std::memcpy(h.data() + 243, &ne, 4);
+        uint64_t n64 = (uint64_t)n;
+        std::memcpy(h.data() + 247, &n64, 8);
+        std::memcpy(h.data() + 255, &n64, 8);  // points-by-return[0]
+    }
+    if (std::fwrite(h.data(), 1, header_size, f) != header_size) {
+        std::fclose(f); return -5;
+    }
 
+    // header VLRs
+    uint64_t data_off = 0;
+    for (int i = 0; i < n_vlr; i++) {
+        uint64_t plen = vlr_payload_lens[i];
+        if (!(vlr_is_evlr && vlr_is_evlr[i])) {
+            unsigned char vh[54];
+            std::memset(vh, 0, sizeof(vh));
+            std::memcpy(vh + 2, vlr_user_ids + 16 * i, 16);
+            std::memcpy(vh + 18, &vlr_record_ids[i], 2);
+            uint16_t l16 = (uint16_t)plen;
+            std::memcpy(vh + 20, &l16, 2);
+            std::memcpy(vh + 22, vlr_descriptions + 32 * i, 32);
+            if (std::fwrite(vh, 1, 54, f) != 54
+                    || std::fwrite(vlr_data + data_off, 1, plen, f) != plen) {
+                std::fclose(f); return -5;
+            }
+        }
+        data_off += plen;
+    }
+
+    // points
     std::vector<unsigned char> p(rec);
-    const bool has_gps = point_format == 1 || point_format == 3;
-    const size_t rgb_off = (point_format == 3) ? 28
-                          : (point_format == 2) ? 20 : 0;
     for (long long i = 0; i < n; i++) {
         std::memset(p.data(), 0, rec);
         for (int a = 0; a < 3; a++) {
@@ -190,16 +399,85 @@ int las_write_points(const char* path, const double* xyz, long long n,
             std::memcpy(p.data() + 4 * a, &q, 4);
         }
         if (intensity) std::memcpy(p.data() + 12, &intensity[i], 2);
-        p[14] = 0x11;  // return 1 of 1
-        if (classification) p[15] = classification[i];
-        if (has_gps) {
-            double t = gps_time ? gps_time[i] : 0.0;
-            std::memcpy(p.data() + 20, &t, 8);
+        if (ret_info) {
+            if (L.new_fmt) std::memcpy(p.data() + L.ret_off, &ret_info[i], 2);
+            else p[L.ret_off] = (uint8_t)ret_info[i];
+        } else {
+            p[L.ret_off] = L.new_fmt ? 0x11 : 0x11;  // return 1 of 1
         }
-        if (rgb_off && rgb) std::memcpy(p.data() + rgb_off, &rgb[3 * i], 6);
-        if (std::fwrite(p.data(), 1, rec, f) != rec) { std::fclose(f); return -5; }
+        if (classification) p[L.cls_off] = classification[i];
+        if (scan_angle) {
+            if (L.new_fmt)
+                std::memcpy(p.data() + L.scan_angle_off, &scan_angle[i], 2);
+            else
+                p[L.scan_angle_off] = (uint8_t)(int8_t)scan_angle[i];
+        }
+        if (user_data) p[L.user_data_off] = user_data[i];
+        if (point_source_id)
+            std::memcpy(p.data() + L.psid_off, &point_source_id[i], 2);
+        if (L.gps_off >= 0) {
+            double t = gps_time ? gps_time[i] : 0.0;
+            std::memcpy(p.data() + L.gps_off, &t, 8);
+        }
+        if (rgb && L.rgb_off >= 0)
+            std::memcpy(p.data() + L.rgb_off, &rgb[3 * i], 6);
+        if (nir && L.nir_off >= 0)
+            std::memcpy(p.data() + L.nir_off, &nir[i], 2);
+        if (wave && L.wave_off >= 0)
+            std::memcpy(p.data() + L.wave_off, &wave[29 * i], 29);
+        if (extra && extra_len > 0)
+            std::memcpy(p.data() + std_len, &extra[(size_t)extra_len * i],
+                        extra_len);
+        if (std::fwrite(p.data(), 1, rec, f) != rec) {
+            std::fclose(f); return -5;
+        }
+    }
+
+    // EVLRs
+    data_off = 0;
+    for (int i = 0; i < n_vlr; i++) {
+        uint64_t plen = vlr_payload_lens[i];
+        if (vlr_is_evlr && vlr_is_evlr[i]) {
+            unsigned char vh[60];
+            std::memset(vh, 0, sizeof(vh));
+            std::memcpy(vh + 2, vlr_user_ids + 16 * i, 16);
+            std::memcpy(vh + 18, &vlr_record_ids[i], 2);
+            std::memcpy(vh + 20, &plen, 8);
+            std::memcpy(vh + 28, vlr_descriptions + 32 * i, 32);
+            if (std::fwrite(vh, 1, 60, f) != 60
+                    || std::fwrite(vlr_data + data_off, 1, plen, f) != plen) {
+                std::fclose(f); return -5;
+            }
+        }
+        data_off += plen;
     }
     return std::fclose(f) == 0 ? 0 : -6;
+}
+
+// --- v1 compatibility shims -------------------------------------------------
+
+long long las_read_points(const char* path, double* xyz,
+                          uint16_t* intensity, uint8_t* classification,
+                          double* gps_time, uint16_t* rgb) {
+    LasInfo info;
+    int rc = las_read_info(path, &info);
+    if (rc != 0) return rc;
+    return las_read_points_chunk(path, 0, info.n_points, xyz, intensity,
+                                 nullptr, classification, nullptr, nullptr,
+                                 nullptr, gps_time, rgb, nullptr, nullptr,
+                                 nullptr, 0);
+}
+
+int las_write_points(const char* path, const double* xyz, long long n,
+                     const uint16_t* intensity,
+                     const uint8_t* classification, const double* gps_time,
+                     const uint16_t* rgb, int point_format) {
+    if (point_format < 0 || point_format > 3) return -3;
+    return las_write_points_v2(path, n, point_format, xyz, intensity,
+                               nullptr, classification, nullptr, nullptr,
+                               nullptr, gps_time, rgb, nullptr, nullptr,
+                               nullptr, 0, 0, nullptr, nullptr, nullptr,
+                               nullptr, nullptr, nullptr, nullptr);
 }
 
 }  // extern "C"

@@ -67,7 +67,7 @@ def _valid_box(x: jnp.ndarray, h_radius: int, v_radius: int) -> jnp.ndarray:
 def box_cost_volume(func: MatchingFunction, img_l: jnp.ndarray,
                     img_r: jnp.ndarray, h_radius: int, v_radius: int,
                     search, direction: DispDirection = DispDirection.RIGHT_TO_LEFT,
-                    cv_dtype=jnp.float32) -> jnp.ndarray:
+                    cv_dtype=jnp.float32, layout: str = "hwd") -> jnp.ndarray:
     if isinstance(search, SearchOffset2):
         raise NotImplementedError("box backend covers 1-D disparity search")
     if not supports_box(func):
@@ -173,4 +173,9 @@ def box_cost_volume(func: MatchingFunction, img_l: jnp.ndarray,
         return None, jnp.where(in_range, cost, boundary).astype(cv_dtype)
 
     _, cv = jax.lax.scan(step, None, shifts)
+    if layout == "dhw":
+        # (D, H, W) -> (H, D, W): disparity on sublanes (the SGM Pallas
+        # fast-path layout, `sgm_pallas_dhw`); cheaper relayout than the
+        # minor-dim move to (H, W, D)
+        return jnp.moveaxis(cv, 0, 1)
     return jnp.moveaxis(cv, 0, -1)

@@ -192,7 +192,8 @@ def unfold_based_cost_volume(func: MatchingFunction, img_l: jnp.ndarray,
                              search: SearchRange,
                              direction: DispDirection = DispDirection.RIGHT_TO_LEFT,
                              cv_dtype=jnp.float32,
-                             backend: str = "auto") -> jnp.ndarray:
+                             backend: str = "auto",
+                             layout: str = "hwd") -> jnp.ndarray:
     """unfold -> normalize -> aggregate (`unfoldBasedCostVolume`,
     `cross_correlations.h:740-765`).
 
@@ -200,6 +201,9 @@ def unfold_based_cost_volume(func: MatchingFunction, img_l: jnp.ndarray,
     materialization; exact up to float summation order) for the dot/SSD
     family; ``'unfold'`` forces the general scan path; ``'auto'`` picks 'box'
     when the function supports it.
+
+    ``layout='dhw'`` returns the volume as (H, D, W) — disparity on VPU
+    sublanes, the layout the SGM Pallas fast path consumes natively.
     """
     if backend == "auto":
         from .box_backend import supports_box
@@ -208,11 +212,14 @@ def unfold_based_cost_volume(func: MatchingFunction, img_l: jnp.ndarray,
     if backend == "box":
         from .box_backend import box_cost_volume
         return box_cost_volume(func, img_l, img_r, h_radius, v_radius,
-                               search, direction, cv_dtype)
+                               search, direction, cv_dtype, layout)
     fv_l = unfold(h_radius, v_radius, img_l)
     fv_r = unfold(h_radius, v_radius, img_r)
-    return feature_volume_to_cost_volume(func, fv_l, fv_r, search,
-                                         direction, cv_dtype)
+    cv = feature_volume_to_cost_volume(func, fv_l, fv_r, search,
+                                       direction, cv_dtype)
+    if layout == "dhw":
+        return jnp.moveaxis(cv, -1, 1)
+    return cv
 
 
 def unfold_based_2d_disparity_cost_volume(

@@ -397,7 +397,7 @@ def sgm_wta_truncated(cv: jnp.ndarray, P1: float, P2: float,
                       strategy: ExtractionStrategy = ExtractionStrategy.COST,
                       h_radius: int = 0, v_radius: int = 0,
                       cost_vol_radius: int = 1,
-                      backend: str = "auto"):
+                      backend: str = "auto", layout: str = "hwd"):
     """Fused fast path for the chain ``sgm_cost_volume`` ->
     ``extract_selected_index`` -> ``truncated_cost_volume`` (SAME mode) —
     the dense-SGM hot loop of `examples/stereo-match/main.cpp:234-258`.
@@ -408,23 +408,33 @@ def sgm_wta_truncated(cv: jnp.ndarray, P1: float, P2: float,
     with zero margins, 4/8 directions and P2 >= P1 the WTA and band
     extraction happen inside the final SGM kernel pass (saving four
     full-volume HBM sweeps); otherwise this is exactly the three-op chain.
+
+    ``layout='dhw'`` declares ``cv`` as (H, D, W) — disparity on VPU
+    sublanes — the native layout of the Pallas fast path (zero extra
+    relayout when the cost volume was built with ``layout='dhw'``).
     """
     from .cost_volume import (extract_selected_index, truncated_cost_volume,
                               TruncatedCvDirection)
     if backend == "auto":
         backend = "pallas" if jax.default_backend() == "tpu" else "xla"
-    H, W, D = cv.shape
+    if layout == "dhw":
+        H, D, W = cv.shape
+    else:
+        H, W, D = cv.shape
     r = cost_vol_radius
     zero_margins = (margins.left == margins.top == margins.right
                     == margins.bottom == 0)
 
     if (backend == "pallas" and zero_margins and n_directions in (4, 8)
             and P2 >= P1):
-        from .sgm_pallas import sgm_fused_adj
+        from .sgm_pallas_dhw import sgm_fused_wta_dhw
         sign = 1.0 if strategy is ExtractionStrategy.COST else -1.0
-        res = sgm_fused_adj((sign * cv).astype(jnp.float32), 0, W,
-                            float(P1), float(P2), float(Pout), n_directions,
-                            wta_radius=r)
+        cv_dhw = cv if layout == "dhw" else jnp.moveaxis(cv, -1, 1)
+        if cv_dhw.dtype != jnp.bfloat16:   # bf16 volumes stay bf16 (packed
+            cv_dhw = cv_dhw.astype(jnp.float32)   # VPU fast path)
+        res = sgm_fused_wta_dhw(sign * cv_dhw, 0, W,
+                                float(P1), float(P2), float(Pout),
+                                n_directions, wta_radius=r)
         if res is not None:
             idx, bands = res
             ii = jnp.arange(H, dtype=jnp.int32)[:, None]
@@ -440,6 +450,8 @@ def sgm_wta_truncated(cv: jnp.ndarray, P1: float, P2: float,
             from ..core.types import disp_dtype
             return idx.astype(disp_dtype), jnp.stack(slots, axis=-1)
 
+    if layout == "dhw":
+        cv = jnp.moveaxis(cv, 1, -1)
     sgm = sgm_cost_volume(cv, P1, P2, margins, Pout, n_directions, strategy,
                           backend)
     idx = extract_selected_index(sgm, strategy)

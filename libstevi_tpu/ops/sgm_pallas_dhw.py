@@ -1,0 +1,425 @@
+"""Pallas TPU SGM kernels in the disparity-on-sublanes layout.
+
+The round-1 kernels (`sgm_pallas.py`) keep the disparity axis on VPU
+*lanes*: every d+-1 shift is a lane rotate and every min-over-D a lane
+reduction — measured ~125-130 cycles per (640, 128) tile versus ~20 for
+the equivalent sublane ops.  Packing the volume as (H, D, W) — disparity
+on sublanes, image columns on lanes — runs the identical DP step 2.2x
+faster (93 us vs 205 us per full-volume step at 480x640 D=120).
+
+Pass structure (8 principal directions, `correlation/sgm.h:57-155`):
+  * down/up passes on the (H, D, W) volume: vertical + both diagonal
+    families, carried together in (Dp, Wp) VMEM scratch; diagonal
+    carries advance by one *lane* shift per row (the shifted-in zero
+    column is the line-start state);
+  * the volume and the down/up adjustment are transposed once each to
+    (W, D, H) (XLA relayout, ~bandwidth);
+  * horizontal fwd/rev run as down/up passes over the transposed volume
+    (scan over image columns, rows on lanes) — no per-column small-op
+    loops; the reverse pass fuses the tie-last WTA + truncated-band
+    extraction as sublane reductions.
+
+Disparity pads to a multiple of 8 (sublanes) with +inf — D=120 and
+D=320 pad to themselves, unlike the 128-lane padding of the old layout.
+Lane padding (image columns / rows) pads with zeros and zero Pout so
+padded lanes self-sustain exact zero carries: min(0, P2, P1) - 0 = 0,
+which is precisely the line-start state a diagonal shifting in from the
+image edge must see.
+
+Reference parity: `correlation/sgm.h:187-306` recurrence with P1/P2/Pout
+and min-normalization; tie-last WTA (`correlation_base.h:446-455`);
+SAME-mode truncated band (`correlation_base.h:582-674`).  Oracle-exact
+(see tests/test_sgm.py).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_INF = float("inf")
+
+
+def _round_up(x, m):
+    return (x + m - 1) // m * m
+
+
+def _dw_step(prev, base, pout_add, P1, P2):
+    """One O(D) min-shift DP step on a (Dp, X) tile (disparity on
+    sublanes).  `prev` is the carry with +inf at padded d rows; returns
+    (cur, adj) with cur = base + adj (`sgm.h:230-300`).  Dtype-generic:
+    bf16 tiles run packed 2-per-lane on the VPU (measured 4.2x over f32
+    per pass), with P1/P2 weak-typed into the tile dtype."""
+    m = jnp.min(prev, axis=0, keepdims=True)
+    inf_row = jnp.full((1, prev.shape[1]), _INF, prev.dtype)
+    up = jnp.concatenate([inf_row, prev[:-1]], axis=0)
+    dn = jnp.concatenate([prev[1:], inf_row], axis=0)
+    agg = jnp.minimum(jnp.minimum(prev, m + P2),
+                      jnp.minimum(up, dn) + P1)
+    adj = agg - m + pout_add
+    return base + adj, adj
+
+
+def _dhw_rows_kernel(*refs, RC, Dp, Xp, N1, X1, ml, W_pout, P1, P2, Pout,
+                     reverse, diag, accumulate, transposed, with_carries,
+                     H_corner):
+    """One streaming pass over scan rows of a (N, Dp, Xp) volume.
+
+    Normal orientation (``transposed=False``): scan rows are image rows,
+    lanes are image columns — carries the vertical direction and (with
+    ``diag``) both diagonal families, whose carries shift by one lane per
+    row.  Transposed orientation: scan rows are image *columns*, lanes
+    are image rows — carries one horizontal direction (``diag`` unused).
+
+    ``with_carries`` runs the pass as one shard of a row-distributed
+    image: initial carries come from relayed inputs, final carries are
+    emitted, and an i0 scalar gives the shard's global scan-row offset
+    for Pout/corner masks (``H_corner`` = global image height)."""
+    n_carries = 3 if diag else 1
+    if with_carries:
+        if accumulate:
+            cv_ref, acc_ref, i0_ref = refs[:3]
+            rest = refs[3:]
+        else:
+            cv_ref, i0_ref = refs[:2]
+            acc_ref = None
+            rest = refs[2:]
+        cins = rest[:n_carries]
+        out_ref = rest[n_carries]
+        couts = rest[n_carries + 1:n_carries + 1 + n_carries]
+        carries = rest[n_carries + 1 + n_carries:]
+        i0 = i0_ref[0, 0]
+    else:
+        if accumulate:
+            cv_ref, acc_ref, out_ref, *carries = refs
+        else:
+            cv_ref, out_ref, *carries = refs
+            acc_ref = None
+        cins = couts = None
+        i0 = 0
+    if diag:
+        cv_carry, cp_carry, cn_carry = carries
+    else:
+        (cv_carry,) = carries
+
+    h = pl.program_id(0)
+    n = pl.num_programs(0)
+
+    dt = cv_ref.dtype
+
+    @pl.when(h == 0)
+    def _():
+        if with_carries:
+            cv_carry[:] = cins[0][:]
+            if diag:
+                cp_carry[:] = cins[1][:]
+                cn_carry[:] = cins[2][:]
+        else:
+            cv_carry[:] = jnp.zeros((Dp, Xp), dt)
+            if diag:
+                cp_carry[:] = jnp.zeros((Dp, Xp), dt)
+                cn_carry[:] = jnp.zeros((Dp, Xp), dt)
+
+    dd = jax.lax.broadcasted_iota(jnp.int32, (Dp, Xp), 0)
+    lanes = jax.lax.broadcasted_iota(jnp.int32, (Dp, Xp), 1)
+    lane_ok = lanes < X1
+    if transposed:
+        # Pout depends on the scan position (image column) and d only;
+        # computed per row below.  Padded scan rows get zero Pout so
+        # their carries self-sustain zero.
+        pout_add = None
+        dd_col = jax.lax.broadcasted_iota(jnp.int32, (Dp, 1), 0)
+    else:
+        # lanes are image columns: Pout grid is constant across rows.
+        pout_add = jnp.where(lane_ok & (ml + lanes + dd >= W_pout),
+                             Pout, 0.0).astype(dt)
+    b = (n - 1 - h) if reverse else h
+
+    c_v = cv_carry[:]
+    if diag:
+        c_p = cp_carry[:]
+        c_n = cn_carry[:]
+    zcol = jnp.zeros((Dp, 1), dt)
+    need_row_mask = (pl.cdiv(N1, RC) * RC != N1) or with_carries
+    need_lane_mask = diag and (X1 != Xp)
+
+    rows = range(RC - 1, -1, -1) if reverse else range(RC)
+    for rr in rows:
+        i = b * RC + rr
+        ig = i0 + i                     # global scan row
+        base = cv_ref[rr]
+        row_ok = i < N1
+
+        if transposed:
+            pa = jnp.where((ml + ig + dd_col >= W_pout) & (ig < N1),
+                           Pout, 0.0).astype(dt)
+        else:
+            pa = pout_add
+
+        def upd(prev, cur):
+            if with_carries:
+                # padded rows between shards are NOT image rows: the
+                # carry passes through untouched so the relay hands
+                # shard k's last-real-row state to shard k+1 exactly
+                if need_lane_mask:
+                    cur = jnp.where(lane_ok, cur, 0.0)
+                return jnp.where(row_ok, cur, prev)
+            if need_lane_mask:
+                cur = jnp.where(lane_ok, cur, 0.0)
+            if need_row_mask:
+                cur = jnp.where(row_ok, cur, 0.0)
+            return cur
+
+        total = acc_ref[rr] if accumulate else jnp.zeros((Dp, Xp), dt)
+        cur, adj = _dw_step(c_v, base, pa, P1, P2)
+        c_v = upd(c_v, cur)
+        total = total + adj
+        if diag:
+            # pos family (lines j - i = const): SE forward / NW reverse —
+            # carry shifts one lane toward higher columns going down
+            shift = (jnp.concatenate([zcol, c_p[:, :-1]], 1) if not reverse
+                     else jnp.concatenate([c_p[:, 1:], zcol], 1))
+            cur, adj = _dw_step(shift, base, pa, P1, P2)
+            c_p = upd(c_p, cur)
+            # double-covered corner lines (`sgm.h:329-355`) as a one-hot
+            # lane multiplier
+            cj = ig if not reverse else (X1 - H_corner + ig)
+            total = total + adj * (1.0 + (lanes == cj).astype(dt))
+            # neg family (lines i + j = const): SW forward / NE reverse
+            shift = (jnp.concatenate([c_n[:, 1:], zcol], 1) if not reverse
+                     else jnp.concatenate([zcol, c_n[:, :-1]], 1))
+            cur, adj = _dw_step(shift, base, pa, P1, P2)
+            c_n = upd(c_n, cur)
+            cj = (X1 - 1 - ig) if not reverse else (H_corner - 1 - ig)
+            total = total + adj * (1.0 + (lanes == cj).astype(dt))
+        out_ref[rr] = total
+    cv_carry[:] = c_v
+    if diag:
+        cp_carry[:] = c_p
+        cn_carry[:] = c_n
+    if with_carries:
+        @pl.when(h == n - 1)
+        def _():
+            couts[0][:] = c_v
+            if diag:
+                couts[1][:] = c_p
+                couts[2][:] = c_n
+
+
+def _dhw_wta_kernel(*refs, RC, Dp, Xp, N1, X1, D, ml, W_pout, P1, P2,
+                    Pout, r):
+    """The reverse-horizontal pass over the transposed (W, Dp, H) volume,
+    fused with tie-last WTA + truncated-band extraction: per image
+    column j (scan row) emits the argmin index over d of the complete
+    SGM value C = cv + adj_total, and C at idx-r..idx+r — all as sublane
+    reductions on (Dp, H-lanes) tiles.  The center band is the min value
+    itself.  ``acc`` holds the accumulated down + up + forward-horizontal
+    adjustment.  Outputs are (W, H) maps (caller transposes back)."""
+    cv_ref, acc_ref, idx_ref, *band_refs = refs[:3 + 2 * r + 1]
+    carry_ref = refs[-1]
+    h = pl.program_id(0)
+    n = pl.num_programs(0)
+
+    dt = cv_ref.dtype
+
+    @pl.when(h == 0)
+    def _():
+        carry_ref[:] = jnp.zeros((Dp, Xp), dt)
+
+    dd = jax.lax.broadcasted_iota(jnp.int32, (Dp, Xp), 0)
+    dd_col = jax.lax.broadcasted_iota(jnp.int32, (Dp, 1), 0)
+    b = n - 1 - h
+    carry = carry_ref[:]
+    for rr in range(RC - 1, -1, -1):
+        j = b * RC + rr                 # image column
+        base = cv_ref[rr]
+        pa = jnp.where((ml + j + dd_col >= W_pout) & (j < N1),
+                       Pout, 0.0).astype(dt)
+        cur, adj = _dw_step(carry, base, pa, P1, P2)
+        carry = jnp.where(j < N1, cur, jnp.zeros((), dt)) \
+            if (pl.cdiv(N1, RC) * RC != N1) else cur
+        # WTA + band extraction run in f32 regardless of the DP dtype:
+        # packed-bf16 compare masks cannot relayout against the i32 iota
+        # (Mosaic restriction), and the bands are f32 outputs anyway.
+        C = (acc_ref[rr] + adj + base).astype(jnp.float32)
+        m = jnp.min(C, axis=0, keepdims=True)
+        idx = jnp.max(jnp.where(C == m, dd, -1), axis=0)
+        idx_ref[rr] = idx
+        for k in range(2 * r + 1):
+            if k == r:
+                band_refs[k][rr] = m[0]          # C[idx] IS the min
+                continue
+            # C shifted so sublane idx holds C[idx + (k - r)]
+            if k < r:
+                pad = jnp.full((r - k, Xp), _INF, jnp.float32)
+                sh = jnp.concatenate([pad, C[:-(r - k)]], axis=0)
+            else:
+                pad = jnp.full((k - r, Xp), _INF, jnp.float32)
+                sh = jnp.concatenate([C[k - r:], pad], axis=0)
+            # one-hot select-and-reduce (exact: a single non-zero term)
+            band_refs[k][rr] = jnp.sum(
+                jnp.where(dd == idx[None, :], sh, 0.0), axis=0)
+    carry_ref[:] = carry
+
+
+def _rows_call(cv_p, acc, *, RC, N1, X1, ml, W_pout, P1, P2, Pout,
+               reverse, diag, transposed, H_corner, interpret):
+    Np, Dp, Xp = cv_p.shape
+    n_chunks = Np // RC
+    if reverse:
+        spec = pl.BlockSpec((RC, Dp, Xp), lambda h: (n_chunks - 1 - h, 0, 0),
+                            memory_space=pltpu.VMEM)
+    else:
+        spec = pl.BlockSpec((RC, Dp, Xp), lambda h: (h, 0, 0),
+                            memory_space=pltpu.VMEM)
+    kernel = functools.partial(
+        _dhw_rows_kernel, RC=RC, Dp=Dp, Xp=Xp, N1=N1, X1=X1, ml=ml,
+        W_pout=W_pout, P1=float(P1), P2=float(P2), Pout=float(Pout),
+        reverse=reverse, diag=diag, accumulate=acc is not None,
+        transposed=transposed, with_carries=False, H_corner=H_corner)
+    in_specs = [spec] if acc is None else [spec, spec]
+    args = (cv_p,) if acc is None else (cv_p, acc)
+    # NOTE: no input_output_aliases on the acc stream — aliasing the acc
+    # input to the output serializes Mosaic's block prefetch against the
+    # output write-back and measures 2x slower (0.92 -> 1.73 ms per pass
+    # at 480x640x120); the extra HBM allocation is cheap by comparison.
+    return pl.pallas_call(
+        kernel, grid=(n_chunks,), in_specs=in_specs, out_specs=spec,
+        out_shape=jax.ShapeDtypeStruct((Np, Dp, Xp), cv_p.dtype),
+        scratch_shapes=[pltpu.VMEM((Dp, Xp), cv_p.dtype)] * (3 if diag
+                                                             else 1),
+        interpret=interpret)(*args)
+
+
+def _pick_rc(Dp, Xp, n_carries, vmem_budget, n_streams=3, max_rc=8,
+             itemsize=4):
+    """Largest row-chunk whose double-buffered streams + carries fit with
+    ~1.5 MB of headroom for Mosaic stack temporaries.  Undersizing rc
+    wastes grid steps; oversizing collapses double-buffering (the fwd-T
+    acc pass measures 1.7 ms at rc=8/11.8 MB vs ~0.9 ms at rc=4)."""
+    u = Dp * Xp * itemsize
+    slack = 3 * (1 << 19)
+    for rc in (8, 4, 2, 1):
+        if rc > max_rc:
+            continue
+        if n_carries * u + 2 * n_streams * rc * u + slack <= vmem_budget:
+            return rc
+    return None
+
+
+def sgm_fused_adj_dhw(region: jnp.ndarray, ml: int, W_pout: int, P1: float,
+                      P2: float, Pout: float, n_directions: int,
+                      vmem_budget: int = 12 * 1024 * 1024,
+                      interpret: bool | None = None):
+    """All principal-direction adj contributions for a (H1, D, W1) volume
+    in the disparity-on-sublanes layout.  Returns adj as (H1, D, W1), or
+    None when the full-width carries cannot fit VMEM."""
+    H1, D, W1 = region.shape
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    diag = n_directions >= 8
+    res = _run_dhw(region, ml, W_pout, P1, P2, Pout, diag, vmem_budget,
+                   interpret, wta_radius=None)
+    return res
+
+
+def sgm_fused_wta_dhw(region: jnp.ndarray, ml: int, W_pout: int, P1: float,
+                      P2: float, Pout: float, n_directions: int,
+                      wta_radius: int,
+                      vmem_budget: int = 12 * 1024 * 1024,
+                      interpret: bool | None = None):
+    """SGM + tie-last WTA + truncated band for a (H1, D, W1) volume.
+    Returns (idx (H1, W1) int32, bands (H1, W1, 2r+1) f32) or None."""
+    H1, D, W1 = region.shape
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    diag = n_directions >= 8
+    return _run_dhw(region, ml, W_pout, P1, P2, Pout, diag, vmem_budget,
+                    interpret, wta_radius=wta_radius)
+
+
+def _run_dhw(region, ml, W_pout, P1, P2, Pout, diag, vmem_budget,
+             interpret, wta_radius):
+    H1, D, W1 = region.shape
+    dt = region.dtype if region.dtype in (jnp.bfloat16, jnp.float32) \
+        else jnp.float32
+    isz = jnp.dtype(dt).itemsize
+    sub = 8 if isz == 4 else 16          # min sublane tile per dtype
+    Dp = _round_up(D, sub)
+    Wp = _round_up(W1, 128)
+    Hp_lanes = _round_up(H1, 128)        # lane extent of the T volume
+
+    nc = 3 if diag else 1
+    rc_down = _pick_rc(Dp, Wp, nc, vmem_budget, n_streams=2, itemsize=isz)
+    rc_up = _pick_rc(Dp, Wp, nc, vmem_budget, n_streams=3, itemsize=isz)
+    rc_fwd = _pick_rc(Dp, Hp_lanes, 1, vmem_budget, n_streams=3,
+                      itemsize=isz)
+    # The WTA maps are 2-D outputs whose block sublane dim must be a
+    # multiple of 8, so the WTA pass row chunk is fixed at 8 (2 input
+    # streams + small map outputs).
+    rc_t = 8
+    u_t = Dp * Hp_lanes * isz
+    if (None in (rc_down, rc_up, rc_fwd)
+            or u_t + 4 * rc_t * u_t > vmem_budget + 4 * 2 ** 20):
+        return None
+    Hp = _round_up(H1, 8)
+    Wp_rows = Wp                         # lane pad of the normal passes
+                                         # doubles as T-side scan-row pad
+
+    # +inf at padded d sublanes; zeros at padded rows/lanes (padded lanes
+    # self-sustain zero carries because their Pout is gated off)
+    cv_p = jnp.pad(region.astype(dt),
+                   ((0, 0), (0, Dp - D), (0, 0)), constant_values=jnp.inf)
+    cv_p = jnp.pad(cv_p, ((0, Hp - H1), (0, 0), (0, Wp - W1)))
+
+    kw = dict(ml=ml, W_pout=W_pout, P1=P1, P2=P2, Pout=Pout,
+              interpret=interpret)
+    # vertical + diagonals: two streaming passes over image rows
+    adj = _rows_call(cv_p, None, RC=rc_down, N1=H1, X1=W1, reverse=False,
+                     diag=diag, transposed=False, H_corner=H1, **kw)
+    adj = _rows_call(cv_p, adj, RC=rc_up, N1=H1, X1=W1, reverse=True,
+                     diag=diag, transposed=False, H_corner=H1, **kw)
+
+    # transpose to (W, D, H) for the horizontal passes
+    def to_T(x):
+        xt = jnp.transpose(x[:H1, :, :], (2, 1, 0))
+        return jnp.pad(xt, ((0, 0), (0, 0), (0, Hp_lanes - H1)))
+
+    cv_T = to_T(cv_p)                   # keeps +inf d-pad, zero lane pad
+    adj_T = to_T(adj)
+
+    adj_T = _rows_call(cv_T, adj_T, RC=rc_fwd, N1=W1, X1=H1, reverse=False,
+                       diag=False, transposed=True, H_corner=H1, **kw)
+
+    if wta_radius is None:
+        adj_T = _rows_call(cv_T, adj_T, RC=rc_fwd, N1=W1, X1=H1, reverse=True,
+                           diag=False, transposed=True, H_corner=H1, **kw)
+        return jnp.transpose(adj_T[:W1, :D, :H1], (2, 1, 0))
+
+    r = wta_radius
+    n_chunks = Wp_rows // rc_t
+    spec = pl.BlockSpec((rc_t, Dp, Hp_lanes),
+                        lambda h: (n_chunks - 1 - h, 0, 0),
+                        memory_space=pltpu.VMEM)
+    map_spec = pl.BlockSpec((rc_t, Hp_lanes),
+                            lambda h: (n_chunks - 1 - h, 0),
+                            memory_space=pltpu.VMEM)
+    kernel = functools.partial(
+        _dhw_wta_kernel, RC=rc_t, Dp=Dp, Xp=Hp_lanes, N1=W1, X1=H1, D=D,
+        ml=ml, W_pout=W_pout, P1=float(P1), P2=float(P2), Pout=float(Pout),
+        r=r)
+    outs = pl.pallas_call(
+        kernel, grid=(n_chunks,), in_specs=[spec, spec],
+        out_specs=[map_spec] * (2 + 2 * r),
+        out_shape=([jax.ShapeDtypeStruct((Wp_rows, Hp_lanes), jnp.int32)]
+                   + [jax.ShapeDtypeStruct((Wp_rows, Hp_lanes), jnp.float32)]
+                   * (2 * r + 1)),
+        scratch_shapes=[pltpu.VMEM((Dp, Hp_lanes), cv_T.dtype)],
+        interpret=interpret)(cv_T, adj_T)
+    idx = outs[0][:W1, :H1].T
+    bands = jnp.stack([b[:W1, :H1].T for b in outs[1:]], axis=-1)
+    return idx, bands

@@ -228,3 +228,107 @@ def test_lzf_codec_roundtrip(rng):
                  rng.integers(0, 256, 3000, dtype=np.uint8).tobytes()):
         c = lzf_compress(data)
         assert lzf_decompress(c, len(data)) == data
+
+
+class TestLasV2:
+    """Formats 4-10, VLR/EVLR, extra-bytes, chunked streaming
+    (`las_pointcloud_io.h:199-487`)."""
+
+    def _attrs(self, rng, n):
+        return {
+            "intensity": rng.integers(0, 65535, n).astype(np.uint16),
+            "classification": rng.integers(0, 255, n).astype(np.uint8),
+            "gps_time": rng.uniform(0, 1e6, n),
+            "rgb": rng.integers(0, 65535, (n, 3)).astype(np.uint16),
+            "nir": rng.integers(0, 65535, n).astype(np.uint16),
+            "return_number": rng.integers(1, 5, n).astype(np.uint8),
+            "number_of_returns": np.full(n, 5, np.uint8),
+            "scanner_channel": rng.integers(0, 3, n).astype(np.uint8),
+            "synthetic": rng.integers(0, 2, n).astype(bool),
+            "overlap": rng.integers(0, 2, n).astype(bool),
+            "scan_angle": rng.integers(-15000, 15000, n).astype(np.int16),
+            "point_source_id": rng.integers(0, 100, n).astype(np.uint16),
+            "reflectance": rng.uniform(-20, 10, n).astype(np.float32),
+            "ring": rng.integers(0, 64, n).astype(np.uint8),
+        }
+
+    def test_format8_extra_bytes_vlr_evlr(self, rng, tmp_path):
+        from libstevi_tpu.io.las_stream import LasReader, write_las_v2, Vlr
+        n = 1000
+        xyz = rng.uniform(-100, 100, (n, 3))
+        attrs = self._attrs(rng, n)
+        vlrs = [Vlr("MyApp", 7, b"hello payload", "test vlr"),
+                Vlr("MyApp", 8, b"E" * 70000, "big evlr", is_evlr=True)]
+        p = str(tmp_path / "f8.las")
+        write_las_v2(p, xyz, attrs, point_format=8, vlrs=vlrs)
+        r = LasReader(p)
+        assert r.header.version == (1, 4)       # EVLR forces 1.4
+        assert r.header.point_format == 8
+        assert r.header.extra_bytes == 5        # f32 + u8 custom attrs
+        ch = r.read_chunk(0, n)
+        np.testing.assert_allclose(ch["xyz"], xyz, atol=1e-3)
+        for k in ("intensity", "classification", "rgb", "nir",
+                  "return_number", "number_of_returns", "scanner_channel",
+                  "scan_angle", "point_source_id", "synthetic", "overlap",
+                  "ring"):
+            np.testing.assert_array_equal(ch[k], attrs[k])
+        np.testing.assert_allclose(ch["gps_time"], attrs["gps_time"])
+        np.testing.assert_allclose(ch["reflectance"], attrs["reflectance"])
+        mine = [v for v in r.header.vlrs if v.user_id == "MyApp"]
+        assert mine[0].payload == b"hello payload" and not mine[0].is_evlr
+        assert len(mine[1].payload) == 70000 and mine[1].is_evlr
+
+    def test_chunked_streaming_matches_full(self, rng, tmp_path):
+        from libstevi_tpu.io.las_stream import LasReader, write_las_v2
+        n = 997   # prime: chunk edges don't align
+        xyz = rng.uniform(0, 10, (n, 3))
+        inten = rng.integers(0, 65535, n).astype(np.uint16)
+        p = str(tmp_path / "s.las")
+        write_las_v2(p, xyz, {"intensity": inten}, point_format=6)
+        r = LasReader(p)
+        assert r.header.point_format == 6 and r.header.version == (1, 4)
+        parts = list(r.chunks(size=100))
+        np.testing.assert_array_equal(
+            np.concatenate([c["intensity"] for c in parts]), inten)
+        np.testing.assert_allclose(
+            np.concatenate([c["xyz"] for c in parts]), xyz, atol=1e-3)
+        mid = r.read_chunk(500, 50)
+        np.testing.assert_allclose(mid["xyz"], xyz[500:550], atol=1e-3)
+
+    def test_wave_packets_format9(self, rng, tmp_path):
+        from libstevi_tpu.io.las_stream import LasReader, write_las_v2
+        n = 64
+        xyz = rng.uniform(0, 1, (n, 3))
+        wp = rng.integers(0, 255, (n, 29)).astype(np.uint8)
+        p = str(tmp_path / "f9.las")
+        write_las_v2(p, xyz, {"gps_time": rng.uniform(0, 1, n),
+                              "wave_packet": wp}, point_format=9)
+        ch = LasReader(p).read_chunk(0, n)
+        np.testing.assert_array_equal(ch["wave_packet"], wp)
+
+    def test_legacy_classification_bits(self, rng, tmp_path):
+        from libstevi_tpu.io import read_las, write_las, PointCloud
+        n = 128
+        cloud = PointCloud(
+            rng.uniform(0, 1, (n, 3)),
+            {"classification": rng.integers(0, 31, n).astype(np.uint8),
+             "synthetic": rng.integers(0, 2, n).astype(bool),
+             "withheld": rng.integers(0, 2, n).astype(bool)})
+        p = str(tmp_path / "leg.las")
+        write_las(p, cloud, point_format=0)
+        back = read_las(p)
+        for k in ("classification", "synthetic", "withheld"):
+            np.testing.assert_array_equal(back.attributes[k],
+                                          cloud.attributes[k])
+
+    def test_descriptor_scale_offset(self, rng, tmp_path):
+        from libstevi_tpu.io.las_stream import (LasReader, write_las_v2,
+                                                ExtraBytesDescriptor)
+        n = 100
+        xyz = rng.uniform(0, 1, (n, 3))
+        raw = rng.integers(0, 1000, n).astype(np.uint16)
+        desc = [ExtraBytesDescriptor("scaled", 3, scale=0.01, offset=5.0)]
+        write_las_v2(str(tmp_path / "d.las"), xyz, {"scaled": raw},
+                     point_format=6, extra_descriptors=desc)
+        ch = LasReader(str(tmp_path / "d.las")).read_chunk(0, n)
+        np.testing.assert_allclose(ch["scaled"], raw * 0.01 + 5.0)

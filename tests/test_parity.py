@@ -1,0 +1,80 @@
+"""End-to-end accuracy regression on the committed rendered stereo pair.
+
+The fixture (tests/data/parity/, built by scripts/make_parity_fixture.py) is
+a textured scene with *exact* ground-truth disparity: right(i, j) ==
+left(i, j + gt(i, j)) analytically for every GT-valid pixel.  These tests
+play the role of the reference's Active-Passive SimStereo accuracy runs
+(`examples/stereo-match/main.cpp:234-303`): the full pipeline — cost volume,
+SGM, WTA, subpixel — must reach SimStereo-class bad-2.0 / inlier-MAE
+numbers, not just match kernel oracles on random arrays.
+"""
+
+import os
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from libstevi_tpu.core import MatchingFunction, MATCH_TRAITS
+from libstevi_tpu.io import read_image
+from libstevi_tpu.ops import (unfold_based_cost_volume, extract_selected_index,
+                              selected_index_to_disp, sgm_wta_truncated,
+                              refine_disp_cost_interpolation,
+                              InterpolationKernel)
+from libstevi_tpu.statistics import prop_good, inlier_mae
+
+DATA = os.path.join(os.path.dirname(__file__), "data", "parity")
+
+
+@pytest.fixture(scope="module")
+def pair():
+    L = jnp.asarray(read_image(os.path.join(DATA, "left_small.stevimg"),
+                               np.float32))
+    R = jnp.asarray(read_image(os.path.join(DATA, "right_small.stevimg"),
+                               np.float32))
+    gt = read_image(os.path.join(DATA, "gt_small.stevimg"), np.float32)
+    return L, R, gt
+
+
+def test_fixture_is_exact(pair):
+    """right(i,j) == left(i, j+gt) by construction (bilinear check only
+    bounds the *fixture*, not the matcher: the texture is band-limited, so
+    bilinear interpolation of `left` at j+gt must land close to `right`)."""
+    L, R, gt = pair
+    H, W = R.shape
+    ii, jj = np.mgrid[0:H, 0:W]
+    v = np.isfinite(gt)
+    x = (jj + np.nan_to_num(gt))[v]
+    j0 = np.floor(x).astype(int)
+    f = x - j0
+    Ln = np.asarray(L)
+    samp = (1 - f) * Ln[ii[v], np.clip(j0, 0, W - 1)] \
+        + f * Ln[ii[v], np.clip(j0 + 1, 0, W - 1)]
+    err = np.abs(samp - np.asarray(R)[v])
+    # bilinear error of a band-limited texture, not fixture error
+    assert np.median(err) < 0.02
+
+
+def test_wta_zncc(pair):
+    L, R, gt = pair
+    cv = unfold_based_cost_volume(MatchingFunction.ZNCC, L, R, 2, 2, 32)
+    idx = extract_selected_index(
+        cv, MATCH_TRAITS[MatchingFunction.ZNCC].strategy)
+    disp = np.asarray(selected_index_to_disp(idx), np.float32)
+    assert prop_good(disp, gt, 2.0) > 0.95
+    assert inlier_mae(disp, gt, 2.0) < 0.45
+
+
+def test_sgm_subpixel_zncc(pair):
+    """The flagship chain: ZNCC CV + SGM-8 + WTA + parabola subpixel."""
+    L, R, gt = pair
+    cv = unfold_based_cost_volume(MatchingFunction.ZNCC, L, R, 2, 2, 32)
+    strategy = MATCH_TRAITS[MatchingFunction.ZNCC].strategy
+    idx, tcv = sgm_wta_truncated(cv, 0.1, 0.5, n_directions=8,
+                                 strategy=strategy, h_radius=2, v_radius=2)
+    disp = np.asarray(refine_disp_cost_interpolation(
+        InterpolationKernel.PARABOLA, tcv, idx), np.float32)
+    pg = prop_good(disp, gt, 2.0)
+    mae = inlier_mae(disp, gt, 2.0)
+    assert pg > 0.97, pg
+    assert mae < 0.30, mae

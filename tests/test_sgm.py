@@ -215,3 +215,25 @@ def test_chunked_pallas_matches_xla(rng, n_dirs, cw):
                           interpret=True, cw_target=cw)
     np.testing.assert_allclose(np.asarray(cv + adj), want,
                                rtol=1e-4, atol=1e-4)
+
+
+def test_sgm_wta_truncated_bf16_close_to_f32(rng):
+    """bf16 volumes ride the packed-VPU Pallas path (4x faster on chip);
+    WTA indices must agree except at near-ties and bands stay within bf16
+    quantization of the f32 chain."""
+    from libstevi_tpu.ops import sgm_wta_truncated
+    import jax.numpy as jnp
+    cv = _cv(rng, 12, 15, 6)
+    idx32, tcv32 = sgm_wta_truncated(jnp.asarray(cv), 0.3, 1.1, Pout=7.0,
+                                     n_directions=8, backend="pallas")
+    idx16, tcv16 = sgm_wta_truncated(jnp.asarray(cv, jnp.bfloat16), 0.3,
+                                     1.1, Pout=7.0, n_directions=8,
+                                     backend="pallas")
+    agree = (np.asarray(idx16) == np.asarray(idx32)).mean()
+    assert agree > 0.9, agree
+    same = np.asarray(idx16) == np.asarray(idx32)
+    b32, b16 = np.asarray(tcv32)[same], np.asarray(tcv16)[same]
+    ok = np.isfinite(b32) & np.isfinite(b16)
+    # values accumulate ~8 direction adjustments of O(1) terms: allow a
+    # few ulps of bf16 (~0.03 absolute at these magnitudes)
+    np.testing.assert_allclose(b16[ok], b32[ok], atol=0.1, rtol=0.02)
