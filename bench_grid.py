@@ -61,14 +61,31 @@ def main():
             return idx
         return fn
 
-    # NOTE: dense HD D=320 f32 materializes ~1.2 GB volumes whose SGM
-    # working set exceeds one v5e's 16 GB HBM (measured: 15.83/15.75 GB at
-    # compile) — the supported routes at that scale are the row-sharded
-    # distributed pipeline (parallel/) or the hierarchical matcher (the
-    # reference's own big-D mechanism, benchmarked below at HD).
+    def sgm_bf16_cfg(H, W, D):
+        def fn(l, r):
+            cv = unfold_based_cost_volume(MatchingFunction.ZNCC, l, r, 3, 3,
+                                          D, backend="box", layout="dhw",
+                                          cv_dtype=jnp.bfloat16)
+            idx, _ = sgm_wta_truncated(cv, 0.1, 0.5, n_directions=8,
+                                       strategy=ExtractionStrategy.SCORE,
+                                       layout="dhw")
+            return idx
+        return fn
+
+    # NOTE: dense HD D=320 in f32 materializes volume working sets beyond
+    # one v5e's 16 GB HBM (measured round 1: 15.83/15.75 GB at compile).
+    # The bf16 mode (parity bound: PARITY_r02.json, EPE p99 0.025 px vs
+    # f32) halves every stream and fits —
+    # `benchmarkCrossCorrelationAlgorithms.cpp:370-401`'s HD row runs
+    # dense on ONE chip; f32 at that scale takes the row-sharded
+    # distributed pipeline (parallel/) or the hierarchical matcher.
     configs = [("SGM8 ZNCC SD D=20", 480, 640, sgm_cfg(480, 640, 20)),
                ("SGM8 ZNCC SD D=160", 480, 640, sgm_cfg(480, 640, 160)),
-               ("SGM8 ZNCC SD D=300", 480, 640, sgm_cfg(480, 640, 300))]
+               ("SGM8 ZNCC SD D=300", 480, 640, sgm_cfg(480, 640, 300)),
+               ("SGM8 ZNCC bf16 SD D=120", 480, 640,
+                sgm_bf16_cfg(480, 640, 120)),
+               ("SGM8 ZNCC bf16 dense HD D=320", 720, 1280,
+                sgm_bf16_cfg(720, 1280, 320))]
 
     for name, H, W, fn in configs:
         dt = _timed(fn, pair(H, W))

@@ -42,6 +42,9 @@ def main(argv=None):
     ap.add_argument("--sgm-dirs", type=int, default=8)
     ap.add_argument("--refine", default="none",
                     choices=["none", "parabola", "equiangular", "gaussian"])
+    ap.add_argument("--precision", default="f32", choices=["f32", "bf16"],
+                    help="bf16 rides the packed-VPU SGM kernels (~1.8x "
+                         "frame rate on TPU; see PARITY_r02.json bound)")
     ap.add_argument("--gt", help="ground-truth disparity (.stevimg/.flo)")
     args = ap.parse_args(argv)
 
@@ -100,8 +103,10 @@ def main(argv=None):
             disp_f = np.asarray(refine_disp_cost_interpolation(
                 k, tcv[..., r - 1:r + 2], idx))
     else:
+        cv_dtype = jnp.bfloat16 if args.precision == "bf16" else jnp.float32
         cv = unfold_based_cost_volume(func, img_l, img_r, args.radius,
-                                      args.radius, args.disp_width)
+                                      args.radius, args.disp_width,
+                                      cv_dtype=cv_dtype)
         strategy = MATCH_TRAITS[func].strategy
         if args.matcher == "sgm":
             # fused SGM + WTA + band-extraction fast path

@@ -125,12 +125,17 @@ def _shifted_compare_scan(func: MatchingFunction, source_fv: jnp.ndarray,
 def aggregate_cost(func: MatchingFunction, fv_l: jnp.ndarray, fv_r: jnp.ndarray,
                    search: SearchRange,
                    direction: DispDirection = DispDirection.RIGHT_TO_LEFT,
-                   cv_dtype=jnp.float32) -> jnp.ndarray:
+                   cv_dtype=jnp.float32, backend: str = "auto") -> jnp.ndarray:
     """Build a cost volume from two *already normalized* feature volumes.
 
     1-D search (int width or SearchOffset1) returns (H, W, D); 2-D search
     (SearchOffset2) returns (H, W, D0, D1).  Matches `aggregateCost`
     (`cross_correlations.h:195,252,311`).
+
+    ``backend='auto'`` routes the dot/SSD/SAD families through the fused
+    Pallas kernel on TPU (one streaming read of each feature volume vs the
+    scan path's D re-reads — ~10x at D=120 F=49); 'scan' forces the XLA
+    scan, 'fused' forces the kernel (interpret-mode off-TPU).
     """
     source_fv, target_fv = _source_target(direction, fv_l, fv_r)
     sign = direction.delta_sign
@@ -166,6 +171,23 @@ def aggregate_cost(func: MatchingFunction, fv_l: jnp.ndarray, fv_r: jnp.ndarray,
     else:
         disps = jnp.arange(int(search), dtype=jnp.int32)
         lo, hi = 0, int(search) - 1
+
+    if backend == "auto":
+        from ..core.types import MATCH_TRAITS
+        from .fv_backend import FUSABLE_KERNELS
+        k = MATCH_TRAITS[func].kernel
+        backend = ("fused" if jax.default_backend() == "tpu"
+                   and k in FUSABLE_KERNELS and source_fv.ndim == 3
+                   else "scan")
+    if backend == "fused":
+        from ..core.types import MATCH_TRAITS
+        from .fv_backend import fused_fv_cost_volume
+        static_shifts = [sign * int(d) for d in
+                         (range(search.lower, search.upper + 1)
+                          if isinstance(search, SearchOffset1)
+                          else range(int(search)))]
+        return fused_fv_cost_volume(MATCH_TRAITS[func].kernel, source_fv,
+                                    target_fv, static_shifts, cv_dtype)
 
     shifts = sign * disps
     min_shift = min(sign * lo, sign * hi)

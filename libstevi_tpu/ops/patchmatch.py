@@ -193,12 +193,16 @@ def _patch_match_stereo_cv(func, source_fv, target_fv, search, n_iter,
     costc = jnp.where((tgt >= 0) & (tgt < W), costc.astype(jnp.float32),
                       jnp.inf)
 
-    Dp = _round_up(D, 128)
-    Hp = _round_up(H, 8)
-    Wp = _round_up(W, 8)
-    cv_p = jnp.pad(costc, ((0, Hp - H), (0, Wp - W), (0, Dp - D)),
-                   constant_values=jnp.inf)
-    cvT_p = jnp.swapaxes(cv_p, 0, 1)
+    # disparity-on-sublanes layout (see patchmatch_pallas): both image
+    # dims pad to 128 so the same state arrays serve as lanes in one
+    # orientation and scan rows in the other
+    Dp = _round_up(D, 8)
+    Hp = _round_up(H, 128)
+    Wp = _round_up(W, 128)
+    cv_p = jnp.moveaxis(
+        jnp.pad(costc, ((0, Hp - H), (0, Wp - W), (0, Dp - D)),
+                constant_values=jnp.inf), -1, 1)        # (Hp, Dp, Wp)
+    cvT_p = jnp.transpose(cv_p, (2, 1, 0))              # (Wp, Dp, Hp)
 
     key, k0 = jax.random.split(key)
     disp = jax.random.randint(k0, (Hp, Wp), lower, upper + 1,
@@ -219,14 +223,23 @@ def _patch_match_stereo_cv(func, source_fv, target_fv, search, n_iter,
                            reverse=not col_fwd, interpret=interpret)
         key, ks = jax.random.split(key)
         keys = jax.random.split(ks, n_random)
-        for k in range(n_random):
-            cand = jax.random.randint(keys[k], (Hp, Wp), lower, upper + 1,
-                                      dtype=jnp.int32)
-            delta = ((cand - disp) * (k + 1)) // (n_random + 1)
-            cand = disp + delta
-            cand = jnp.where(cand == disp, disp + 1, cand)
-            disp, cost = probe(cv_p, cand, disp, cost, lower, D,
-                               interpret=interpret)
+        if n_random:
+            # all n_random candidate fields are generated from the
+            # pre-probe disparity and evaluated sequentially inside ONE
+            # volume read (vs the reference's re-centering each probe on
+            # the just-updated disparity, `patchmatch.h:234-366` — a
+            # statistical-parity deviation like the counter-based RNG;
+            # acceptance order within the batch matches the reference)
+            cands = []
+            for k in range(n_random):
+                cand = jax.random.randint(keys[k], (Hp, Wp), lower,
+                                          upper + 1, dtype=jnp.int32)
+                delta = ((cand - disp) * (k + 1)) // (n_random + 1)
+                cand = disp + delta
+                cand = jnp.where(cand == disp, disp + 1, cand)
+                cands.append(cand)
+            disp, cost = probe(cv_p, jnp.stack(cands, axis=1), disp, cost,
+                               lower, D, interpret=interpret)
     return disp[:H, :W].astype(disp_dtype)
 
 

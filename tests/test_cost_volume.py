@@ -244,3 +244,26 @@ class TestTruncatedCv:
         got = np.asarray(selected_cost(jnp.asarray(cv), jnp.asarray(sel)))
         want = np.take_along_axis(cv, sel[..., None], -1)[..., 0]
         np.testing.assert_array_equal(got, want)
+
+
+@pytest.mark.parametrize("func,direction", [
+    (MatchingFunction.ZNCC, DispDirection.RIGHT_TO_LEFT),
+    (MatchingFunction.SSD, DispDirection.RIGHT_TO_LEFT),
+    (MatchingFunction.SAD, DispDirection.LEFT_TO_RIGHT),
+])
+def test_fused_fv_backend_matches_scan(rng, func, direction):
+    """The streaming Pallas fv aggregation (interpret mode on CPU) must
+    match the XLA scan path including the zero-target-out-of-range
+    semantics (`cross_correlations.h:195-250`)."""
+    from libstevi_tpu.ops.cost_volume import aggregate_cost, \
+        normalize_feature_volume
+    from libstevi_tpu.core.search import SearchOffset1
+    fv_l = jnp.asarray(rng.uniform(0, 1, (10, 17, 5)).astype(np.float32))
+    fv_r = jnp.asarray(rng.uniform(0, 1, (10, 17, 5)).astype(np.float32))
+    nl = normalize_feature_volume(func, fv_l)
+    nr = normalize_feature_volume(func, fv_r)
+    search = SearchOffset1(-2, 6)
+    want = aggregate_cost(func, nl, nr, search, direction, backend="scan")
+    got = aggregate_cost(func, nl, nr, search, direction, backend="fused")
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)

@@ -88,9 +88,10 @@ def test_pallas_sweep_matches_numpy_oracle(rng):
     k = disp - lower
     cost = np.take_along_axis(cv, k[..., None], -1)[..., 0]
 
-    Lp, Sp, Dp = _round_up(L, 8), _round_up(S, 8), _round_up(D, 128)
-    cv_p = np.pad(cv, ((0, Lp - L), (0, Sp - S), (0, Dp - D)),
-                  constant_values=np.inf)
+    # disparity-on-sublanes layout: (Lp, Dp, Sp)
+    Lp, Sp, Dp = _round_up(L, 8), _round_up(S, 128), _round_up(D, 8)
+    cv_p = np.moveaxis(np.pad(cv, ((0, Lp - L), (0, Sp - S), (0, Dp - D)),
+                              constant_values=np.inf), -1, 1)
     d_p = np.pad(disp, ((0, Lp - L), (0, Sp - S)))
     c_p = np.pad(cost, ((0, Lp - L), (0, Sp - S)), constant_values=np.inf)
 
