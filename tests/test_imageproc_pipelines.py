@@ -94,32 +94,129 @@ class TestShapeFromShading:
 
 
 class TestCheckerboard:
-    def _board(self, sq=8, n=6, jitter=0):
-        H = W = sq * n + 16
-        img = np.zeros((H, W), np.float32)
-        for i in range(n):
-            for j in range(n):
-                if (i + j) % 2 == 0:
-                    img[8 + i * sq:8 + (i + 1) * sq,
-                        8 + j * sq:8 + (j + 1) * sq] = 1.0
-        return img
+    """Rendered boards with exact analytic corner GT: the detector must
+    survive blur / rotation / perspective and localize sub-0.1 px
+    (`checkBoardDetection.h:870,1003,1086,1412`)."""
 
-    def test_response_peaks_at_inner_corners(self):
-        img = self._board()
-        resp = np.asarray(checkerboard_response(jnp.asarray(img), 2))
-        # response at an inner corner vs flat area
-        assert resp[16, 16] > 10 * abs(resp[12, 12])
+    @staticmethod
+    def _render(H=200, W=260, n_sq=(6, 8), theta=0.0, persp=(0.0, 0.0),
+                sharp=2.0, origin=(30.0, 30.0), sq=24.0):
+        """Projective checkerboard: board coords (u, v) map to pixels via
+        x = origin + sq * R(theta) @ (u, v) / w, w = 1 + persp . (u, v).
+        Intensity 0.5 + 0.45 tanh(sharp * sin(pi u) sin(pi v)) — corners
+        are exact saddles at integer (u, v).  Returns (img, gt) with gt
+        the (rows, cols, 2) interior-corner pixel coords."""
+        nv, nu = n_sq
+        yy, xx = np.mgrid[0:H, 0:W].astype(np.float64)
+        c, s_ = np.cos(theta), np.sin(theta)
+        # invert the map pixel -> board: iterate (projective, mild persp)
+        u = ((xx - origin[0]) * c + (yy - origin[1]) * s_) / sq
+        v = (-(xx - origin[0]) * s_ + (yy - origin[1]) * c) / sq
+        for _ in range(8):
+            w = 1.0 + persp[0] * u + persp[1] * v
+            u = ((xx - origin[0]) * c + (yy - origin[1]) * s_) / sq * w
+            v = (-(xx - origin[0]) * s_ + (yy - origin[1]) * c) / sq * w
+        inside = (u >= 0) & (u <= nu) & (v >= 0) & (v <= nv)
+        field = np.sin(np.pi * u) * np.sin(np.pi * v)
+        # white quiet zone outside the board (realistic print): outer
+        # board corners become L-junctions the section filter rejects
+        img = np.where(inside, 0.5 + 0.45 * np.tanh(sharp * field), 0.95)
+        gt = np.zeros((nv - 1, nu - 1, 2))
+        for a in range(1, nv):
+            for b in range(1, nu):
+                w = 1.0 / (1.0 + persp[0] * b + persp[1] * a)
+                bu, bv = b * w, a * w
+                gt[a - 1, b - 1] = (origin[0] + sq * (c * bu - s_ * bv),
+                                    origin[1] + sq * (s_ * bu + c * bv))
+        return img.astype(np.float32), gt
 
-    def test_grid_detected(self):
-        img = self._board()
-        board = detect_checkerboard(jnp.asarray(img), radius=2, n_max=64)
+    @staticmethod
+    def _accuracy(board, gt):
+        det = board.corners.reshape(-1, 2)
+        det = det[np.isfinite(det[:, 0])]
+        gtf = gt.reshape(-1, 2)
+        d = np.linalg.norm(det[:, None] - gtf[None], axis=-1).min(1)
+        return det, d
+
+    def test_response_is_saddle_at_corners(self):
+        from libstevi_tpu.imageproc.checkerboard import checkerboard_response
+        img, gt = self._render()
+        resp, lmin, lmax, _ = map(np.asarray,
+                                  checkerboard_response(jnp.asarray(img)))
+        i, j = int(round(gt[2, 3, 1])), int(round(gt[2, 3, 0]))
+        assert resp[i, j] < 0 and lmin[i, j] < 0 < lmax[i, j]
+
+    def test_fronto_parallel_subpixel(self):
+        img, gt = self._render(sharp=2.0)
+        board = detect_checkerboard(jnp.asarray(img))
         assert board is not None
-        r, c, _ = board.corners.shape
-        assert r >= 4 and c >= 4
-        # lattice spacing ~ 8 px
-        d = np.nanmean(np.linalg.norm(
-            board.corners[:, 1:] - board.corners[:, :-1], axis=-1))
-        assert abs(d - 8) < 1.0
+        # the grid must contain the full interior lattice (border corners
+        # against the quiet zone may legitimately extend it)
+        assert board.corners.shape[0] >= gt.shape[0]
+        assert board.corners.shape[1] >= gt.shape[1]
+        det = board.corners.reshape(-1, 2)
+        det = det[np.isfinite(det[:, 0])]
+        # every interior GT corner matched sub-0.1 px
+        d_gt = np.linalg.norm(gt.reshape(-1, 2)[:, None] - det[None],
+                              axis=-1).min(1)
+        assert d_gt.mean() < 0.1, d_gt.mean()
+        assert d_gt.max() < 0.3, d_gt.max()
+
+    def test_rotated_perspective_blur(self):
+        from scipy.ndimage import gaussian_filter
+        img, gt = self._render(theta=0.42, persp=(0.01, -0.008), sharp=3.0)
+        img = gaussian_filter(img, 1.0)
+        board = detect_checkerboard(jnp.asarray(img))
+        assert board is not None
+        det = board.corners.reshape(-1, 2)
+        det = det[np.isfinite(det[:, 0])]
+        d_gt = np.linalg.norm(gt.reshape(-1, 2)[:, None] - det[None],
+                              axis=-1).min(1)
+        # nearly all interior GT corners found, localized well despite
+        # blur + rotation + perspective
+        assert (d_gt < 1.0).mean() > 0.95
+        assert d_gt[d_gt < 1.0].mean() < 0.15, d_gt[d_gt < 1.0].mean()
+
+    def test_filter_rejects_non_checker_corners(self):
+        from libstevi_tpu.imageproc.checkerboard import (
+            checkerboard_corner_candidates, filter_checkerboard_candidates)
+        # one isolated black square: its 4 corners are L-corners, not
+        # checkerboard saddles; the 8-section filter must reject them
+        img = np.full((64, 64), 1.0, np.float32)
+        img[24:40, 24:40] = 0.0
+        from scipy.ndimage import gaussian_filter
+        img = gaussian_filter(img, 1.0)
+        cands = checkerboard_corner_candidates(jnp.asarray(img))
+        if len(cands):
+            thr = 0.05 * float((-cands.lmin).max())
+            cands = cands[(cands.lmin <= -thr) & (cands.lmax >= thr)]
+        kept = filter_checkerboard_candidates(img, cands)
+        assert len(kept) == 0
+
+    def test_hierarchical_upsample_refinement(self):
+        from libstevi_tpu.imageproc.checkerboard import (
+            checkerboard_corner_candidates, filter_checkerboard_candidates,
+            isolate_checkerboard, fit_checkerboard_corners_hierarchical)
+        from libstevi_tpu.interpolation import average_pooling_downsample
+        img, gt = self._render(H=400, W=520, sq=48.0, origin=(60, 60),
+                               theta=0.1, sharp=2.0)
+        small = np.asarray(average_pooling_downsample(jnp.asarray(img), 2))
+        cands = checkerboard_corner_candidates(jnp.asarray(small))
+        thr = 0.05 * float((-cands.lmin).max())
+        cands = cands[(cands.lmin <= -thr) & (cands.lmax >= thr)]
+        cands = filter_checkerboard_candidates(small, cands)
+        board = isolate_checkerboard(cands)
+        assert board is not None
+        idx = board._candidate_idx
+        ks = idx[idx >= 0]
+        pos = fit_checkerboard_corners_hierarchical(
+            [jnp.asarray(small), jnp.asarray(img)],
+            np.asarray(cands.x)[ks], np.asarray(cands.y)[ks],
+            np.asarray(cands.main_dir)[ks], upscaling_factor=2.0)
+        det = np.asarray(pos)
+        d_gt = np.linalg.norm(gt.reshape(-1, 2)[:, None] - det[None],
+                              axis=-1).min(1)
+        assert d_gt.mean() < 0.1, d_gt.mean()
 
 
 class TestHexTargets:
