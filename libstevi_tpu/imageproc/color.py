@@ -88,3 +88,39 @@ def normalize_channels(img: jnp.ndarray, eps: float = 1e-12) -> jnp.ndarray:
     (`colorConversions.h` channel normalization)."""
     s = jnp.sum(img.astype(jnp.float32), -1, keepdims=True)
     return img / jnp.where(jnp.abs(s) > eps, s, 1.0)
+
+
+def _packed_422_to_rgb(img: jnp.ndarray, u_even: bool) -> jnp.ndarray:
+    """Shared YUYV/YVYU 4:2:2 decode (`colorConversions.h:334-457`): the
+    chroma channel alternates per column; each pixel uses the most recent
+    sample of each chroma (the reference's running U/V update), with the
+    row-start V (resp. U) seeded from column 1.  Float path with the
+    reference's +-1000 clamps; data is 0-255 scaled like the reference."""
+    x = img.astype(jnp.float32)
+    H, W, C = x.shape
+    if C != 2 or W < 2:
+        raise ValueError("packed 4:2:2 image must be (H, W, 2) with W >= 2")
+    y = x[..., 0]
+    ch = x[..., 1]
+    jj = jnp.arange(W)
+    even_idx = jj - jj % 2                       # latest even column <= j
+    odd_idx = jnp.where(jj == 0, 1, jj - (1 - jj % 2))   # latest odd <= j
+    u = ch[:, even_idx if u_even else odd_idx]
+    v = ch[:, odd_idx if u_even else even_idx]
+    r = y + 1.370705 * (v - 128.0)
+    g = y - 0.698001 * (v - 128.0) - 0.337633 * (u - 128.0)
+    b = y + 1.732446 * (u - 128.0)
+    out = jnp.stack([r, g, b], axis=-1)
+    return jnp.clip(out, -1000.0, 1000.0)
+
+
+def yuyv_to_rgb(img: jnp.ndarray) -> jnp.ndarray:
+    """(H, W, 2) YUYV-packed 4:2:2 -> (H, W, 3) RGB
+    (`yuyv2rgb`, `colorConversions.h:334`)."""
+    return _packed_422_to_rgb(img, u_even=True)
+
+
+def yvyu_to_rgb(img: jnp.ndarray) -> jnp.ndarray:
+    """(H, W, 2) YVYU-packed 4:2:2 -> (H, W, 3) RGB
+    (`yvyu2rgb`, `colorConversions.h:396`)."""
+    return _packed_422_to_rgb(img, u_even=False)

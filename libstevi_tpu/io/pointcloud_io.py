@@ -196,6 +196,48 @@ def write_pcd(path: str, cloud: PointCloud, binary: bool = True,
 # Dispatch
 # ---------------------------------------------------------------------------
 
+class InMemoryStream:
+    """Chunked access adapter over an in-memory PointCloud — gives PCD /
+    SDC / MetaCloud the same streaming interface as `las_stream.LasReader`
+    (the `FullPointCloudAccessInterface` role, `pointcloud_io.h:486`)."""
+
+    def __init__(self, cloud: PointCloud):
+        self._cloud = cloud
+
+    @property
+    def n_points(self) -> int:
+        return self._cloud.n_points
+
+    @property
+    def attributes(self) -> list:
+        return list(self._cloud.attributes)
+
+    def read_chunk(self, start: int, count: int) -> dict:
+        sl = slice(start, min(start + count, self.n_points))
+        out = {"xyz": self._cloud.positions[sl]}
+        for k, v in self._cloud.attributes.items():
+            out[k] = np.asarray(v)[sl]
+        return out
+
+    def chunks(self, size: int = 1 << 20):
+        for start in range(0, self.n_points, size):
+            yield self.read_chunk(start, size)
+
+
+def open_point_cloud_stream(path: str):
+    """Format-sniffing *streaming* reader: LAS streams natively from disk
+    (clouds larger than RAM iterate in bounded memory); other codecs load
+    once and adapt.  Returns an object with ``n_points``, ``attributes``,
+    ``read_chunk(start, count)`` and ``chunks(size)`` —
+    the format-agnostic access-interface layer of `pointcloud_io.h:322-525`
+    re-designed around chunked SOA numpy access."""
+    ext = os.path.splitext(path)[1].lower()
+    if ext == ".las":
+        from .las_stream import LasReader
+        return LasReader(path)
+    return InMemoryStream(open_point_cloud(path))
+
+
 def open_point_cloud(path: str) -> PointCloud:
     """Format-sniffing reader (`openPointCloud`, `pointcloud_io.h:815`)."""
     ext = os.path.splitext(path)[1].lower()

@@ -180,3 +180,44 @@ class TestMeanShift:
         assert len(set(labs[:30])) == 1
         assert len(set(labs[30:])) == 1
         assert labs[0] != labs[-1]
+
+
+class TestPacked422:
+    def _oracle(self, img, u_even):
+        """Direct loop transliteration of `colorConversions.h:334-457`."""
+        H, W, _ = img.shape
+        out = np.zeros((H, W, 3), np.float32)
+        for i in range(H):
+            if u_even:
+                U, V = img[i, 0, 1], img[i, 1, 1]
+            else:
+                V, U = img[i, 0, 1], img[i, 1, 1]
+            for j in range(W):
+                Y = img[i, j, 0]
+                if j % 2 == 0:
+                    if u_even:
+                        U = img[i, j, 1]
+                    else:
+                        V = img[i, j, 1]
+                else:
+                    if u_even:
+                        V = img[i, j, 1]
+                    else:
+                        U = img[i, j, 1]
+                r = Y + 1.370705 * (V - 128.0)
+                g = Y - 0.698001 * (V - 128.0) - 0.337633 * (U - 128.0)
+                b = Y + 1.732446 * (U - 128.0)
+                out[i, j] = np.clip([r, g, b], -1000.0, 1000.0)
+        return out
+
+    def test_yuyv_matches_reference_loop(self, rng):
+        from libstevi_tpu.imageproc.color import yuyv_to_rgb
+        img = rng.uniform(0, 255, (6, 9, 2)).astype(np.float32)
+        got = np.asarray(yuyv_to_rgb(jnp.asarray(img)))
+        np.testing.assert_allclose(got, self._oracle(img, True), rtol=1e-5)
+
+    def test_yvyu_matches_reference_loop(self, rng):
+        from libstevi_tpu.imageproc.color import yvyu_to_rgb
+        img = rng.uniform(0, 255, (5, 8, 2)).astype(np.float32)
+        got = np.asarray(yvyu_to_rgb(jnp.asarray(img)))
+        np.testing.assert_allclose(got, self._oracle(img, False), rtol=1e-5)

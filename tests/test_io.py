@@ -332,3 +332,103 @@ class TestLasV2:
                      point_format=6, extra_descriptors=desc)
         ch = LasReader(str(tmp_path / "d.las")).read_chunk(0, n)
         np.testing.assert_allclose(ch["scaled"], raw * 0.01 + 5.0)
+
+
+class TestMetaCloudNative:
+    """Native multi-file format (`metacloud_io.h:10-173`): EXTRA_ATTRIBUTES
+    binary sidecars, typed METACLOUD_ATTRIBUTES, INDEX_FILES."""
+
+    def test_extra_attribute_sidecar_round_trip(self, rng, tmp_path):
+        from libstevi_tpu.io.metacloud_io import (read_metacloud,
+                                                  write_metacloud)
+        n = 64
+        cloud = PointCloud(
+            rng.uniform(-5, 5, (n, 3)),
+            {"intensity": rng.integers(0, 100, n).astype(np.uint16),
+             "reflectance": rng.uniform(-10, 5, n).astype(np.float32),
+             "ring": rng.integers(0, 32, n).astype(np.uint8)})
+        p = str(tmp_path / "c.metacloud")
+        write_metacloud(p, cloud,
+                        meta={"sensor": "riegl x", "count": 42,
+                              "rate": 2.5},
+                        index_files=[("idx.bsp", "bsp", "main")])
+        # native sidecar present; the points LAS holds no extra bytes
+        assert (tmp_path / "c_extra.bin").exists()
+        from libstevi_tpu.io.las_stream import LasReader
+        assert LasReader(str(tmp_path / "c_points.las")).header.extra_bytes \
+            == 0
+        back = read_metacloud(p)
+        np.testing.assert_allclose(back.positions, cloud.positions,
+                                   atol=1e-3)
+        for k in ("intensity", "reflectance", "ring"):
+            np.testing.assert_array_equal(back.attributes[k],
+                                          cloud.attributes[k])
+        # typed metacloud attributes (`metacloud_io.cpp:329-352` regexes)
+        assert back.metacloud_attributes["sensor"] == "riegl x"
+        assert back.metacloud_attributes["count"] == 42
+        assert isinstance(back.metacloud_attributes["count"], int)
+        assert back.metacloud_attributes["rate"] == 2.5
+        assert back.metacloud_index_files == [("idx.bsp", "bsp", "main")]
+
+    def test_hand_written_descriptor(self, rng, tmp_path):
+        from libstevi_tpu.io.metacloud_io import read_metacloud
+        from libstevi_tpu.io.pointcloud_io import write_las
+        n = 10
+        cloud = PointCloud(rng.uniform(0, 1, (n, 3)), {})
+        write_las(str(tmp_path / "pts.las"), cloud)
+        np.arange(n, dtype=np.float64).tofile(str(tmp_path / "e.bin"))
+        (tmp_path / "h.metacloud").write_text(
+            "# a comment\n"
+            "POINTS_FILES\n"
+            '  "pts.las"\n'
+            "\n"
+            "EXTRA_ATTRIBUTES\n"
+            '"e.bin" float64 "height"\n'
+            "METACLOUD_ATTRIBUTES\n"
+            'quotednum "123"\n'
+            "realnum 123\n")
+        back = read_metacloud(str(tmp_path / "h.metacloud"))
+        np.testing.assert_allclose(back.attributes["height"], np.arange(n))
+        # quoted numbers stay strings, unquoted become int64
+        assert back.metacloud_attributes["quotednum"] == "123"
+        assert back.metacloud_attributes["realnum"] == 123
+
+
+class TestStreamingInterface:
+    def test_large_las_streams_in_bounded_chunks(self, tmp_path):
+        """A 2M-point LAS iterates through fixed-size windows — the
+        streaming role of the reference's point access interfaces
+        (`pointcloud_io.h:322-525`)."""
+        from libstevi_tpu.io.las_stream import write_las_v2
+        from libstevi_tpu.io.pointcloud_io import open_point_cloud_stream
+        n = 2_000_000
+        xyz = np.stack([np.arange(n, dtype=np.float64) % 1000,
+                        np.arange(n, dtype=np.float64) // 1000,
+                        np.zeros(n)], -1)
+        p = str(tmp_path / "big.las")
+        write_las_v2(p, xyz, {"intensity":
+                              (np.arange(n) % 65536).astype(np.uint16)},
+                     point_format=0)
+        r = open_point_cloud_stream(p)
+        assert r.n_points == n
+        total, checksum = 0, 0
+        for ch in r.chunks(size=250_000):
+            assert len(ch["xyz"]) <= 250_000
+            total += len(ch["xyz"])
+            checksum += int(ch["intensity"].sum())
+        assert total == n
+        assert checksum == sum(i % 65536 for i in range(n))
+
+    def test_adapter_for_pcd(self, rng, tmp_path):
+        from libstevi_tpu.io.pointcloud_io import (write_pcd,
+                                                   open_point_cloud_stream)
+        cloud = PointCloud(rng.uniform(0, 1, (100, 3)),
+                           {"i": rng.uniform(0, 1, 100).astype(np.float32)})
+        p = str(tmp_path / "c.pcd")
+        write_pcd(p, cloud)
+        r = open_point_cloud_stream(p)
+        assert r.n_points == 100
+        ch = r.read_chunk(40, 10)
+        np.testing.assert_allclose(ch["xyz"], cloud.positions[40:50],
+                                   atol=1e-6)
+        np.testing.assert_allclose(ch["i"], cloud.attributes["i"][40:50])
