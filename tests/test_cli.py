@@ -1,0 +1,136 @@
+"""Smoke tests for the CLI tool layer (reference `examples/` parity:
+`examples/CMakeLists.txt` builds 23 tools; each tool here runs in-process
+on small synthetic fixtures)."""
+
+import json
+import os
+import sys
+
+import numpy as np
+import pytest
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "cli"))
+
+DATA = os.path.join(os.path.dirname(__file__), "data", "parity")
+
+
+def _capture(capsys):
+    lines = capsys.readouterr().out.strip().splitlines()
+    start = max(i for i, l in enumerate(lines) if l.lstrip().startswith("{"))
+    return json.loads("\n".join(lines[start:]))
+
+
+class TestStereoMatchCli:
+    def test_sgm_on_parity_pair(self, tmp_path, capsys):
+        import stereo_match
+        rc = stereo_match.main([
+            os.path.join(DATA, "left_small.stevimg"),
+            os.path.join(DATA, "right_small.stevimg"),
+            "-o", str(tmp_path / "d.stevimg"), "-d", "32", "-m", "zncc",
+            "--matcher", "sgm", "--refine", "parabola", "--radius", "2",
+            "--gt", os.path.join(DATA, "gt_small.stevimg")])
+        assert rc in (0, None)
+        rep = _capture(capsys)
+        assert rep["prop_good_2.0"] > 0.97
+
+
+class TestIoPointcloudCli:
+    def test_info_and_convert(self, tmp_path, capsys, rng):
+        import io_pointcloud
+        from libstevi_tpu.io import PointCloud, save_point_cloud
+        n = 200
+        cloud = PointCloud(
+            rng.uniform(-10, 10, (n, 3)),
+            {"intensity": rng.integers(0, 100, n).astype(np.uint16),
+             "gps_time": rng.uniform(0, 1, n)})
+        src = str(tmp_path / "a.las")
+        save_point_cloud(src, cloud)
+        io_pointcloud.main(["info", src])
+        rep = _capture(capsys)
+        assert rep["n_points"] == n
+        assert rep["format"].startswith("LAS")
+        dst = str(tmp_path / "b.pcd")
+        io_pointcloud.main(["convert", src, dst, "--drop", "gps_time",
+                            "--rename", "intensity=amp"])
+        rep = _capture(capsys)
+        assert rep["n_points"] == n
+        assert "amp" in rep["attributes"]
+        assert "gps_time" not in rep["attributes"]
+        from libstevi_tpu.io import open_point_cloud
+        back = open_point_cloud(dst)
+        np.testing.assert_allclose(back.positions, cloud.positions,
+                                   atol=1e-3)
+
+
+class TestDepthMapCli:
+    def test_projection(self, tmp_path, capsys, rng):
+        import points_cloud2depth_map
+        from libstevi_tpu.io import PointCloud, save_point_cloud, read_image
+        # a fronto-parallel plane of points at z = 5
+        g = np.stack(np.meshgrid(np.linspace(-2, 2, 80),
+                                 np.linspace(-1.5, 1.5, 60),
+                                 indexing="xy"), -1).reshape(-1, 2)
+        pts = np.concatenate([g, np.full((len(g), 1), 5.0)], -1)
+        src = str(tmp_path / "plane.las")
+        save_point_cloud(src, PointCloud(pts, {}))
+        out = str(tmp_path / "depth.stevimg")
+        points_cloud2depth_map.main([src, out, "--size", "48", "64",
+                                     "--f", "60", "--inpaint"])
+        rep = _capture(capsys)
+        assert rep["coverage"] > 0.5
+        depth = np.asarray(read_image(out, np.float32))
+        center = depth[20:28, 28:36]
+        np.testing.assert_allclose(center, 5.0, atol=0.05)
+
+
+class TestTiePointsCli:
+    def test_matches_and_pose(self, capsys):
+        import tie_points
+        tie_points.main([os.path.join(DATA, "left_small.stevimg"),
+                         os.path.join(DATA, "right_small.stevimg"),
+                         "-n", "96", "--f", "120"])
+        rep = _capture(capsys)
+        assert rep["n_matches"] >= 8
+        if "n_inliers" in rep:
+            assert rep["n_inliers"] >= 8
+
+
+class TestBgFgStereoCli:
+    def test_foreground_detected(self, tmp_path, capsys, rng):
+        import bg_fg_stereo
+        from libstevi_tpu.io import write_image
+        H, W, d_bg, d_fg = 48, 72, 3, 9
+        bg_r = rng.uniform(0.1, 1.0, (H, W)).astype(np.float32)
+        bg_l = np.roll(bg_r, d_bg, axis=1)
+        live_r = bg_r.copy()
+        # a textured square moved to the foreground disparity
+        sq = rng.uniform(0.1, 1.0, (16, 16)).astype(np.float32)
+        live_r[16:32, 24:40] = sq
+        live_l = np.roll(live_r, d_bg, axis=1)
+        live_l[16:32, 24 + d_fg:40 + d_fg] = sq
+        paths = {}
+        for nm, img in (("bl", bg_l), ("br", bg_r), ("ll", live_l),
+                        ("lr", live_r)):
+            paths[nm] = str(tmp_path / f"{nm}.stevimg")
+            write_image(paths[nm], img)
+        bg_fg_stereo.main([paths["bl"], paths["br"], paths["ll"],
+                           paths["lr"], "-d", "16",
+                           "-o", str(tmp_path / "disp.stevimg"),
+                           "--mask-out", str(tmp_path / "mask.stevimg")])
+        rep = _capture(capsys)
+        assert 0.0 < rep["fg_fraction"] < 0.5
+
+
+class TestCheckerboardCli:
+    def test_detects_rendered_board(self, tmp_path, capsys):
+        import detect_checkerboard
+        from libstevi_tpu.io import write_image
+        from test_imageproc_pipelines import TestCheckerboard
+        img, gt = TestCheckerboard._render()
+        p = str(tmp_path / "board.stevimg")
+        write_image(p, img)
+        rc = detect_checkerboard.main([p, "-o",
+                                       str(tmp_path / "corners.json")])
+        assert rc == 0
+        rep = _capture(capsys)
+        assert rep["found"] and rep["n_points"] >= 35
