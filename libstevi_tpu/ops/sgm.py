@@ -34,11 +34,13 @@ TPU design — three gather-free pass groups:
 
 The O(D^2) inner min collapses to O(D) (``min(prev[d], prev[d+-1]+P1,
 min(prev)+P2)``), exact whenever P2 >= P1; the dense penalty matrix is the
-fallback.  Score mode reuses the cost-mode engine on the negated volume.  The
-8 knight-move directions of the 16-direction set use a generic index-map
-gather path (they have no reshape-friendly layout); prefer n_directions=8 on
-the hot path.  Cross-tile carry exchange for the distributed version lives in
-`libstevi_tpu.parallel.sgm_dist`.
+fallback.  Score mode reuses the cost-mode engine on the negated volume.  On
+the Pallas backend the 8 knight-move directions of the 16-direction set are
+first-class: the DHW kernels carry them (two phase carries per direction)
+inside the same four streaming passes as the principal directions
+(`sgm_pallas_dhw._knight_row`).  The XLA fallback runs them through a
+generic index-map gather path.  Cross-tile carry exchange for the
+distributed version lives in `libstevi_tpu.parallel.sgm_dist`.
 """
 
 from __future__ import annotations
@@ -371,8 +373,19 @@ def sgm_cost_volume(cv: jnp.ndarray, P1: float, P2: float,
         return cv
 
     adj = None
+    knight_done = False
     if backend == "pallas" and P2 >= P1:
-        adj = _pallas_adj(region, ml, P1, P2, Pout, W, n_directions)
+        if n_directions >= 16:
+            # the DHW kernels carry the knight families alongside the
+            # principal directions in the same four streaming passes
+            from .sgm_pallas_dhw import sgm_fused_adj_dhw
+            a = sgm_fused_adj_dhw(jnp.moveaxis(region, -1, 1), ml, W,
+                                  P1, P2, Pout, 16)
+            if a is not None:
+                adj = jnp.moveaxis(a, 1, -1)
+                knight_done = True
+        if adj is None:
+            adj = _pallas_adj(region, ml, P1, P2, Pout, W, n_directions)
     if adj is None:
         adj = _horizontal_group(region, ml, P1, P2, Pout, W)
         adj = adj + _vertical_group(region, ml, P1, P2, Pout, W)
@@ -381,7 +394,7 @@ def sgm_cost_volume(cv: jnp.ndarray, P1: float, P2: float,
 
     sgm = cv + jnp.pad(adj, ((mt, mb), (ml, mr), (0, 0)))
 
-    if n_directions >= 16:
+    if n_directions >= 16 and not knight_done:
         m = (ml, mt, mr, mb)
         for direction in _KNIGHT_DIRS:
             ii, jj, active = _build_lines(H, W, m, direction)
@@ -425,7 +438,7 @@ def sgm_wta_truncated(cv: jnp.ndarray, P1: float, P2: float,
     zero_margins = (margins.left == margins.top == margins.right
                     == margins.bottom == 0)
 
-    if (backend == "pallas" and zero_margins and n_directions in (4, 8)
+    if (backend == "pallas" and zero_margins and n_directions in (4, 8, 16)
             and P2 >= P1):
         from .sgm_pallas_dhw import sgm_fused_wta_dhw
         sign = 1.0 if strategy is ExtractionStrategy.COST else -1.0

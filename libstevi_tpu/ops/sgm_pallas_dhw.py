@@ -7,7 +7,8 @@ the equivalent sublane ops.  Packing the volume as (H, D, W) — disparity
 on sublanes, image columns on lanes — runs the identical DP step 2.2x
 faster (93 us vs 205 us per full-volume step at 480x640 D=120).
 
-Pass structure (8 principal directions, `correlation/sgm.h:57-155`):
+Pass structure (8 principal + 8 knight-move directions,
+`correlation/sgm.h:57-155`):
   * down/up passes on the (H, D, W) volume: vertical + both diagonal
     families, carried together in (Dp, Wp) VMEM scratch; diagonal
     carries advance by one *lane* shift per row (the shifted-in zero
@@ -17,7 +18,11 @@ Pass structure (8 principal directions, `correlation/sgm.h:57-155`):
   * horizontal fwd/rev run as down/up passes over the transposed volume
     (scan over image columns, rows on lanes) — no per-column small-op
     loops; the reverse pass fuses the tie-last WTA + truncated-band
-    extraction as sublane reductions.
+    extraction as sublane reductions;
+  * with ``n_directions=16`` each pass additionally carries its two
+    knight-move families (4 extra (Dp, Xp) carries: 2 drift signs x 2
+    seed phases — see `_knight_row`), so 16 directions still take
+    exactly four streaming passes.
 
 Disparity pads to a multiple of 8 (sublanes) with +inf — D=120 and
 D=320 pad to themselves, unlike the 128-lane padding of the old layout.
@@ -64,9 +69,43 @@ def _dw_step(prev, base, pout_add, P1, P2):
     return base + adj, adj
 
 
-def _dhw_rows_kernel(*refs, RC, Dp, Xp, N1, X1, ml, W_pout, P1, P2, Pout,
-                     reverse, diag, accumulate, transposed, with_carries,
-                     H_corner):
+def _knight_row(c_k, base, pa, t, t_par, lanes, X1, P1, P2, upd, dt, zcol):
+    """One scan row's contribution from the four half-diagonal ("knight")
+    carries of a pass.  `sgm.h:112-155` alternating step traits: the line
+    advances one scan row every step and drifts one lane every OTHER step,
+    so its lane shift happens on a fixed parity of the step index ``t``
+    (distance from the pass's start edge).  Each drift sign needs TWO
+    carries because `addDirectionalCost` seeds lines from both edges
+    (`sgm.h:329-355`): phase A holds the start-edge seeds plus the
+    even-offset side seeds (drifts entering even t), phase B the odd side
+    seeds (drifts entering odd t).  B lines exist only past the side-seed
+    frontier (t >= 2u + 1 with u = lane distance from the drift's entry
+    edge — each drift step lets one more side line enter at lane 0), and
+    the doubly-enumerated corner seed (u == t//2) counts twice.  ``t_par``
+    is the CONCRETE parity of ``t`` (the traced value only feeds masks).
+    Returns (new carries, summed adj contribution)."""
+    extra = None
+    new = []
+    for kk, c in enumerate(c_k):
+        plus = kk < 2                    # drift toward higher lanes
+        phase_b = kk % 2 == 1
+        if (t_par == 1) if phase_b else (t_par == 0):
+            c = (jnp.concatenate([zcol, c[:, :-1]], 1) if plus
+                 else jnp.concatenate([c[:, 1:], zcol], 1))
+        cur, adj = _dw_step(c, base, pa, P1, P2)
+        new.append(upd(c, cur))
+        u = lanes if plus else (X1 - 1 - lanes)
+        if phase_b:
+            w = (u <= (t - 1) // 2).astype(dt)
+        else:
+            w = 1.0 + (u == t // 2).astype(dt)
+        extra = adj * w if extra is None else extra + adj * w
+    return new, extra
+
+
+def _dhw_rows_kernel(*refs, RC, Dp, Xp, Np, N1, X1, ml, W_pout, P1, P2,
+                     Pout, reverse, diag, accumulate, transposed,
+                     with_carries, H_corner, knight=False):
     """One streaming pass over scan rows of a (N, Dp, Xp) volume.
 
     Normal orientation (``transposed=False``): scan rows are image rows,
@@ -75,11 +114,19 @@ def _dhw_rows_kernel(*refs, RC, Dp, Xp, N1, X1, ml, W_pout, P1, P2, Pout,
     row.  Transposed orientation: scan rows are image *columns*, lanes
     are image rows — carries one horizontal direction (``diag`` unused).
 
+    ``knight`` adds this pass's two half-diagonal 16-direction families
+    (see `_knight_row`); requires even ``RC`` so the drift parity is
+    concrete at trace time.
+
     ``with_carries`` runs the pass as one shard of a row-distributed
     image: initial carries come from relayed inputs, final carries are
     emitted, and an i0 scalar gives the shard's global scan-row offset
     for Pout/corner masks (``H_corner`` = global image height)."""
-    n_carries = 3 if diag else 1
+    if knight and with_carries:
+        raise NotImplementedError("knight directions have no relay yet")
+    if knight and RC % 2:
+        raise ValueError("knight passes need an even row chunk")
+    n_carries = (3 if diag else 1) + (4 if knight else 0)
     if with_carries:
         if accumulate:
             cv_ref, acc_ref, i0_ref = refs[:3]
@@ -101,6 +148,9 @@ def _dhw_rows_kernel(*refs, RC, Dp, Xp, N1, X1, ml, W_pout, P1, P2, Pout,
             acc_ref = None
         cins = couts = None
         i0 = 0
+    k_carries = []
+    if knight:
+        carries, k_carries = carries[:-4], carries[-4:]
     if diag:
         cv_carry, cp_carry, cn_carry = carries
     else:
@@ -123,6 +173,8 @@ def _dhw_rows_kernel(*refs, RC, Dp, Xp, N1, X1, ml, W_pout, P1, P2, Pout,
             if diag:
                 cp_carry[:] = jnp.zeros((Dp, Xp), dt)
                 cn_carry[:] = jnp.zeros((Dp, Xp), dt)
+            for kc in k_carries:
+                kc[:] = jnp.zeros((Dp, Xp), dt)
 
     dd = jax.lax.broadcasted_iota(jnp.int32, (Dp, Xp), 0)
     lanes = jax.lax.broadcasted_iota(jnp.int32, (Dp, Xp), 1)
@@ -143,9 +195,10 @@ def _dhw_rows_kernel(*refs, RC, Dp, Xp, N1, X1, ml, W_pout, P1, P2, Pout,
     if diag:
         c_p = cp_carry[:]
         c_n = cn_carry[:]
+    c_k = [kc[:] for kc in k_carries]
     zcol = jnp.zeros((Dp, 1), dt)
-    need_row_mask = (pl.cdiv(N1, RC) * RC != N1) or with_carries
-    need_lane_mask = diag and (X1 != Xp)
+    need_row_mask = (Np != N1) or with_carries
+    need_lane_mask = (diag or knight) and (X1 != Xp)
 
     rows = range(RC - 1, -1, -1) if reverse else range(RC)
     for rr in rows:
@@ -196,11 +249,21 @@ def _dhw_rows_kernel(*refs, RC, Dp, Xp, N1, X1, ml, W_pout, P1, P2, Pout,
             c_n = upd(c_n, cur)
             cj = (X1 - 1 - ig) if not reverse else (H_corner - 1 - ig)
             total = total + adj * (1.0 + (lanes == cj).astype(dt))
+        if knight:
+            # step index from the pass start edge; parity is concrete
+            # because RC is even (b * RC cannot flip it)
+            t = i if not reverse else (N1 - 1 - i)
+            t_par = (rr % 2) if not reverse else ((N1 - 1 - rr) % 2)
+            c_k, extra = _knight_row(c_k, base, pa, t, t_par, lanes, X1,
+                                     P1, P2, upd, dt, zcol)
+            total = total + extra
         out_ref[rr] = total
     cv_carry[:] = c_v
     if diag:
         cp_carry[:] = c_p
         cn_carry[:] = c_n
+    for kc, c in zip(k_carries, c_k):
+        kc[:] = c
     if with_carries:
         @pl.when(h == n - 1)
         def _():
@@ -211,7 +274,7 @@ def _dhw_rows_kernel(*refs, RC, Dp, Xp, N1, X1, ml, W_pout, P1, P2, Pout,
 
 
 def _dhw_wta_kernel(*refs, RC, Dp, Xp, N1, X1, D, ml, W_pout, P1, P2,
-                    Pout, r):
+                    Pout, r, knight=False):
     """The reverse-horizontal pass over the transposed (W, Dp, H) volume,
     fused with tie-last WTA + truncated-band extraction: per image
     column j (scan row) emits the argmin index over d of the complete
@@ -219,8 +282,11 @@ def _dhw_wta_kernel(*refs, RC, Dp, Xp, N1, X1, D, ml, W_pout, P1, P2,
     reductions on (Dp, H-lanes) tiles.  The center band is the min value
     itself.  ``acc`` holds the accumulated down + up + forward-horizontal
     adjustment.  Outputs are (W, H) maps (caller transposes back)."""
+    n_scr = 1 + (4 if knight else 0)
     cv_ref, acc_ref, idx_ref, *band_refs = refs[:3 + 2 * r + 1]
-    carry_ref = refs[-1]
+    scr = refs[-n_scr:]
+    carry_ref = scr[0]
+    k_refs = scr[1:]
     h = pl.program_id(0)
     n = pl.num_programs(0)
 
@@ -229,11 +295,17 @@ def _dhw_wta_kernel(*refs, RC, Dp, Xp, N1, X1, D, ml, W_pout, P1, P2,
     @pl.when(h == 0)
     def _():
         carry_ref[:] = jnp.zeros((Dp, Xp), dt)
+        for kc in k_refs:
+            kc[:] = jnp.zeros((Dp, Xp), dt)
 
     dd = jax.lax.broadcasted_iota(jnp.int32, (Dp, Xp), 0)
     dd_col = jax.lax.broadcasted_iota(jnp.int32, (Dp, 1), 0)
+    lanes = jax.lax.broadcasted_iota(jnp.int32, (Dp, Xp), 1)
+    zcol = jnp.zeros((Dp, 1), dt)
     b = n - 1 - h
     carry = carry_ref[:]
+    c_k = [kc[:] for kc in k_refs]
+    row_mask = pl.cdiv(N1, RC) * RC != N1
     for rr in range(RC - 1, -1, -1):
         j = b * RC + rr                 # image column
         base = cv_ref[rr]
@@ -241,7 +313,19 @@ def _dhw_wta_kernel(*refs, RC, Dp, Xp, N1, X1, D, ml, W_pout, P1, P2,
                        Pout, 0.0).astype(dt)
         cur, adj = _dw_step(carry, base, pa, P1, P2)
         carry = jnp.where(j < N1, cur, jnp.zeros((), dt)) \
-            if (pl.cdiv(N1, RC) * RC != N1) else cur
+            if row_mask else cur
+        if knight:
+            t = N1 - 1 - j               # concrete parity: RC even
+            t_par = (N1 - 1 - rr) % 2
+
+            def upd_k(_prev, kcur):
+                if X1 != Xp:
+                    kcur = jnp.where(lanes < X1, kcur, 0.0)
+                return jnp.where(j < N1, kcur, 0.0) if row_mask else kcur
+
+            c_k, extra = _knight_row(c_k, base, pa, t, t_par, lanes, X1,
+                                     P1, P2, upd_k, dt, zcol)
+            adj = adj + extra
         # WTA + band extraction run in f32 regardless of the DP dtype:
         # packed-bf16 compare masks cannot relayout against the i32 iota
         # (Mosaic restriction), and the bands are f32 outputs anyway.
@@ -264,10 +348,13 @@ def _dhw_wta_kernel(*refs, RC, Dp, Xp, N1, X1, D, ml, W_pout, P1, P2,
             band_refs[k][rr] = jnp.sum(
                 jnp.where(dd == idx[None, :], sh, 0.0), axis=0)
     carry_ref[:] = carry
+    for kc, c in zip(k_refs, c_k):
+        kc[:] = c
 
 
 def _rows_call(cv_p, acc, *, RC, N1, X1, ml, W_pout, P1, P2, Pout,
-               reverse, diag, transposed, H_corner, interpret):
+               reverse, diag, transposed, H_corner, interpret,
+               knight=False):
     Np, Dp, Xp = cv_p.shape
     n_chunks = Np // RC
     if reverse:
@@ -277,10 +364,11 @@ def _rows_call(cv_p, acc, *, RC, N1, X1, ml, W_pout, P1, P2, Pout,
         spec = pl.BlockSpec((RC, Dp, Xp), lambda h: (h, 0, 0),
                             memory_space=pltpu.VMEM)
     kernel = functools.partial(
-        _dhw_rows_kernel, RC=RC, Dp=Dp, Xp=Xp, N1=N1, X1=X1, ml=ml,
+        _dhw_rows_kernel, RC=RC, Dp=Dp, Xp=Xp, Np=Np, N1=N1, X1=X1, ml=ml,
         W_pout=W_pout, P1=float(P1), P2=float(P2), Pout=float(Pout),
         reverse=reverse, diag=diag, accumulate=acc is not None,
-        transposed=transposed, with_carries=False, H_corner=H_corner)
+        transposed=transposed, with_carries=False, H_corner=H_corner,
+        knight=knight)
     in_specs = [spec] if acc is None else [spec, spec]
     args = (cv_p,) if acc is None else (cv_p, acc)
     # NOTE: no input_output_aliases on the acc stream — aliasing the acc
@@ -290,8 +378,8 @@ def _rows_call(cv_p, acc, *, RC, N1, X1, ml, W_pout, P1, P2, Pout,
     return pl.pallas_call(
         kernel, grid=(n_chunks,), in_specs=in_specs, out_specs=spec,
         out_shape=jax.ShapeDtypeStruct((Np, Dp, Xp), cv_p.dtype),
-        scratch_shapes=[pltpu.VMEM((Dp, Xp), cv_p.dtype)] * (3 if diag
-                                                             else 1),
+        scratch_shapes=[pltpu.VMEM((Dp, Xp), cv_p.dtype)]
+        * ((3 if diag else 1) + (4 if knight else 0)),
         interpret=interpret)(*args)
 
 
@@ -323,7 +411,8 @@ def sgm_fused_adj_dhw(region: jnp.ndarray, ml: int, W_pout: int, P1: float,
         interpret = jax.default_backend() != "tpu"
     diag = n_directions >= 8
     res = _run_dhw(region, ml, W_pout, P1, P2, Pout, diag, vmem_budget,
-                   interpret, wta_radius=None)
+                   interpret, wta_radius=None,
+                   knight=n_directions >= 16)
     return res
 
 
@@ -339,11 +428,12 @@ def sgm_fused_wta_dhw(region: jnp.ndarray, ml: int, W_pout: int, P1: float,
         interpret = jax.default_backend() != "tpu"
     diag = n_directions >= 8
     return _run_dhw(region, ml, W_pout, P1, P2, Pout, diag, vmem_budget,
-                    interpret, wta_radius=wta_radius)
+                    interpret, wta_radius=wta_radius,
+                    knight=n_directions >= 16)
 
 
 def _run_dhw(region, ml, W_pout, P1, P2, Pout, diag, vmem_budget,
-             interpret, wta_radius):
+             interpret, wta_radius, knight=False):
     H1, D, W1 = region.shape
     dt = region.dtype if region.dtype in (jnp.bfloat16, jnp.float32) \
         else jnp.float32
@@ -353,18 +443,24 @@ def _run_dhw(region, ml, W_pout, P1, P2, Pout, diag, vmem_budget,
     Wp = _round_up(W1, 128)
     Hp_lanes = _round_up(H1, 128)        # lane extent of the T volume
 
-    nc = 3 if diag else 1
+    nck = 4 if knight else 0             # knight: 2 dirs x 2 phases/pass
+    nc = (3 if diag else 1) + nck
     rc_down = _pick_rc(Dp, Wp, nc, vmem_budget, n_streams=2, itemsize=isz)
     rc_up = _pick_rc(Dp, Wp, nc, vmem_budget, n_streams=3, itemsize=isz)
-    rc_fwd = _pick_rc(Dp, Hp_lanes, 1, vmem_budget, n_streams=3,
+    rc_fwd = _pick_rc(Dp, Hp_lanes, 1 + nck, vmem_budget, n_streams=3,
                       itemsize=isz)
+    if knight:
+        # drift parity must be concrete at trace time -> even row chunks
+        rc_down = None if rc_down == 1 else rc_down
+        rc_up = None if rc_up == 1 else rc_up
+        rc_fwd = None if rc_fwd == 1 else rc_fwd
     # The WTA maps are 2-D outputs whose block sublane dim must be a
     # multiple of 8, so the WTA pass row chunk is fixed at 8 (2 input
     # streams + small map outputs).
     rc_t = 8
     u_t = Dp * Hp_lanes * isz
     if (None in (rc_down, rc_up, rc_fwd)
-            or u_t + 4 * rc_t * u_t > vmem_budget + 4 * 2 ** 20):
+            or (1 + nck) * u_t + 4 * rc_t * u_t > vmem_budget + 4 * 2 ** 20):
         return None
     Hp = _round_up(H1, 8)
     Wp_rows = Wp                         # lane pad of the normal passes
@@ -377,7 +473,7 @@ def _run_dhw(region, ml, W_pout, P1, P2, Pout, diag, vmem_budget,
     cv_p = jnp.pad(cv_p, ((0, Hp - H1), (0, 0), (0, Wp - W1)))
 
     kw = dict(ml=ml, W_pout=W_pout, P1=P1, P2=P2, Pout=Pout,
-              interpret=interpret)
+              interpret=interpret, knight=knight)
     # vertical + diagonals: two streaming passes over image rows
     adj = _rows_call(cv_p, None, RC=rc_down, N1=H1, X1=W1, reverse=False,
                      diag=diag, transposed=False, H_corner=H1, **kw)
@@ -411,14 +507,15 @@ def _run_dhw(region, ml, W_pout, P1, P2, Pout, diag, vmem_budget,
     kernel = functools.partial(
         _dhw_wta_kernel, RC=rc_t, Dp=Dp, Xp=Hp_lanes, N1=W1, X1=H1, D=D,
         ml=ml, W_pout=W_pout, P1=float(P1), P2=float(P2), Pout=float(Pout),
-        r=r)
+        r=r, knight=knight)
     outs = pl.pallas_call(
         kernel, grid=(n_chunks,), in_specs=[spec, spec],
         out_specs=[map_spec] * (2 + 2 * r),
         out_shape=([jax.ShapeDtypeStruct((Wp_rows, Hp_lanes), jnp.int32)]
                    + [jax.ShapeDtypeStruct((Wp_rows, Hp_lanes), jnp.float32)]
                    * (2 * r + 1)),
-        scratch_shapes=[pltpu.VMEM((Dp, Hp_lanes), cv_T.dtype)],
+        scratch_shapes=[pltpu.VMEM((Dp, Hp_lanes), cv_T.dtype)]
+        * (5 if knight else 1),
         interpret=interpret)(cv_T, adj_T)
     idx = outs[0][:W1, :H1].T
     bands = jnp.stack([b[:W1, :H1].T for b in outs[1:]], axis=-1)

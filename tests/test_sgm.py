@@ -82,6 +82,7 @@ def test_smoothing_pulls_outlier_toward_neighbors():
 
 @pytest.mark.parametrize("n_dirs,margins", [
     (4, Margins()), (8, Margins()), (8, Margins(2, 1, 3, 2)),
+    (16, Margins()), (16, Margins(2, 1, 3, 2)),
 ])
 def test_fused_pallas_matches_xla(rng, n_dirs, margins):
     """The fused full-width Pallas kernels (interpret mode on CPU) must match
@@ -125,6 +126,25 @@ def test_sgm_wta_truncated_matches_chain(rng, strategy):
     idx = extract_selected_index(sgm, strategy)
     vol = sgm if strategy is ExtractionStrategy.COST else -sgm
     tcv = truncated_cost_volume(vol, idx, 2, 2, 1)
+    np.testing.assert_array_equal(np.asarray(idx_f), np.asarray(idx))
+    np.testing.assert_allclose(np.asarray(tcv_f), np.asarray(tcv),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_sgm_wta_truncated_16_directions(rng):
+    """16-direction fused fast path: the DHW kernels carry the knight-move
+    families (two phase carries per direction, `sgm.h:112-155,329-355`)
+    alongside the principal directions; must match the XLA 16-dir chain."""
+    from libstevi_tpu.ops import (sgm_wta_truncated, extract_selected_index,
+                                  truncated_cost_volume)
+    cv = _cv(rng, 12, 15, 6)
+    idx_f, tcv_f = sgm_wta_truncated(jnp.asarray(cv), 0.3, 1.1, Pout=7.0,
+                                     n_directions=16, h_radius=2, v_radius=2,
+                                     backend="pallas")
+    sgm = sgm_cost_volume(jnp.asarray(cv), 0.3, 1.1, Pout=7.0,
+                          n_directions=16, backend="xla")
+    idx = extract_selected_index(sgm, ExtractionStrategy.COST)
+    tcv = truncated_cost_volume(sgm, idx, 2, 2, 1)
     np.testing.assert_array_equal(np.asarray(idx_f), np.asarray(idx))
     np.testing.assert_allclose(np.asarray(tcv_f), np.asarray(tcv),
                                rtol=1e-4, atol=1e-4)
