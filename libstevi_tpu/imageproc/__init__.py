@@ -13,6 +13,13 @@ from .connected_components import connected_components, cluster_stats
 from .inpainting import nearest_neighbor_inpainting, diffusion_inpainting
 from .fourier import FourierTransformCalculator
 from .meanshift import mean_shift_clustering
+from .shape_from_shading import (
+    estimate_light_direction_from_shading, initial_normal_map_estimate,
+    normal_map_from_single_shading_image,
+    normal_map_from_intrinsic_decomposition, gradient_based_edges,
+    rectify_normal_map, height_from_normal_map,
+    flatten_height_map_in_area_of_interest, shape_from_shading,
+    integrate_normals)
 
 __all__ = [
     "Filter", "AxisType", "PaddingType", "convolve_2d",
@@ -28,4 +35,10 @@ __all__ = [
     "connected_components", "cluster_stats",
     "nearest_neighbor_inpainting", "diffusion_inpainting",
     "FourierTransformCalculator", "mean_shift_clustering",
+    "estimate_light_direction_from_shading", "initial_normal_map_estimate",
+    "normal_map_from_single_shading_image",
+    "normal_map_from_intrinsic_decomposition", "gradient_based_edges",
+    "rectify_normal_map", "height_from_normal_map",
+    "flatten_height_map_in_area_of_interest", "shape_from_shading",
+    "integrate_normals",
 ]

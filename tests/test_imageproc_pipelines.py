@@ -93,6 +93,139 @@ class TestShapeFromShading:
         np.testing.assert_allclose(got, L, atol=1e-4)
 
 
+class TestShapeFromShadingReference:
+    """Reference-parity SFS surface (`shapeFromShading.h:34-1215`) on a
+    rendered hemisphere with exact analytic normals.  Channel order is the
+    reference's (x = columns, y = rows, z up)."""
+
+    @staticmethod
+    def _dome(H=48, W=48, light=(0.35, 0.15, 0.92)):
+        ci, cj, R = H / 2 - .5, W / 2 - .5, H * 1.2
+        ii, jj = np.mgrid[0:H, 0:W].astype(np.float64)
+        r2 = (ii - ci) ** 2 + (jj - cj) ** 2
+        z = np.sqrt(np.maximum(R * R - r2, 1e-6))
+        n = np.stack([(jj - cj) / R, (ii - ci) / R, z / R], -1)
+        lhat = np.asarray(light, np.float64)
+        lhat /= np.linalg.norm(lhat)
+        s = np.clip(n @ lhat / lhat[2], 0, 1).astype(np.float32)
+        return s, n.astype(np.float32), lhat.astype(np.float32), z
+
+    @staticmethod
+    def _ang(n, n_true):
+        nn = n / np.maximum(np.linalg.norm(n, axis=-1, keepdims=True), 1e-9)
+        return np.degrees(np.arccos(np.clip((nn * n_true).sum(-1), -1, 1)))
+
+    def test_initial_estimate_properties(self):
+        from libstevi_tpu.imageproc.shape_from_shading import \
+            initial_normal_map_estimate
+        s, n_true, lhat, _ = self._dome()
+        n0 = np.asarray(initial_normal_map_estimate(jnp.asarray(s),
+                                                    jnp.asarray(lhat)))
+        assert np.isfinite(n0).all()
+        assert (n0[..., 2] >= 0).all()              # upward-z override
+        np.testing.assert_allclose(np.linalg.norm(n0, axis=-1), 1.0,
+                                   atol=1e-4)       # quadratic is |n|=1
+        assert self._ang(n0, n_true).mean() < 70    # far better than random
+
+    def test_single_shading_solver_converges(self):
+        from libstevi_tpu.imageproc.shape_from_shading import (
+            initial_normal_map_estimate, normal_map_from_single_shading_image)
+        s, n_true, lhat, _ = self._dome()
+        nr = np.asarray(normal_map_from_single_shading_image(
+            jnp.asarray(s), jnp.asarray(lhat), n_iter=30))
+        assert np.isfinite(nr).all()
+        np.testing.assert_allclose(np.linalg.norm(nr, axis=-1), 1.0,
+                                   atol=1e-5)
+        n0 = np.asarray(initial_normal_map_estimate(jnp.asarray(s),
+                                                    jnp.asarray(lhat)))
+
+        # Gauss-Newton beats the greedy initial estimate on angular error
+        assert self._ang(nr, n_true).mean() < self._ang(n0, n_true).mean()
+        assert self._ang(nr, n_true).mean() < 35
+
+    def test_intrinsic_decomposition_solver(self):
+        from libstevi_tpu.imageproc.shape_from_shading import (
+            initial_normal_map_estimate, normal_map_from_intrinsic_decomposition)
+        s, n_true, lhat, _ = self._dome()
+        guide = np.stack([s] * 3, -1)
+        nd = np.asarray(normal_map_from_intrinsic_decomposition(
+            jnp.asarray(s), jnp.asarray(guide), jnp.asarray(lhat), n_iter=30))
+        assert np.isfinite(nd).all()
+        np.testing.assert_allclose(np.linalg.norm(nd, axis=-1), 1.0,
+                                   atol=1e-5)
+        n0 = np.asarray(initial_normal_map_estimate(jnp.asarray(s),
+                                                    jnp.asarray(lhat)))
+        assert (self._ang(nd, n_true).mean()
+                < self._ang(n0, n_true).mean() + 1)  # never worse than init
+
+    def test_height_from_normal_map_matches_analytic(self):
+        from libstevi_tpu.imageproc.shape_from_shading import \
+            height_from_normal_map
+        s, n_true, lhat, z = self._dome()
+        h = np.asarray(height_from_normal_map(jnp.asarray(n_true)))
+        assert abs(h[0, 0]) < 1e-3                  # anchor
+        H, W = z.shape
+        got = h[H // 2 - 4:H // 2 + 4, W // 2 - 4:W // 2 + 4].mean() \
+            - (h[:3].mean() + h[-3:].mean()) / 2
+        want = z[H // 2 - 4:H // 2 + 4, W // 2 - 4:W // 2 + 4].mean() \
+            - (z[:3].mean() + z[-3:].mean()) / 2
+        # reference integrates +n/nz (shapeFromShading.h:905), so the
+        # recovered relief is the negated surface
+        np.testing.assert_allclose(got, -want, rtol=0.02)
+
+    def test_rectify_normal_map(self):
+        from libstevi_tpu.imageproc.shape_from_shading import \
+            rectify_normal_map
+        tilted = np.broadcast_to(np.asarray([0.3, 0.2, 0.93], np.float32),
+                                 (32, 32, 3))
+        mask = np.ones((32, 32), bool)
+        out = np.asarray(rectify_normal_map(jnp.asarray(tilted),
+                                            jnp.asarray(mask)))
+        mean = out.reshape(-1, 3).mean(0)
+        np.testing.assert_allclose(mean / np.linalg.norm(mean),
+                                   [0, 0, 1], atol=1e-4)
+
+    def test_flatten_height_map(self):
+        from libstevi_tpu.imageproc.shape_from_shading import \
+            flatten_height_map_in_area_of_interest
+        H = W = 48
+        ii, jj = np.mgrid[0:H, 0:W].astype(np.float64)
+        r2 = (ii - H / 2) ** 2 + (jj - W / 2) ** 2
+        mask = r2 < (H * 0.4) ** 2
+        plane = (0.2 * ii + 0.1 * jj + 3 + np.exp(-r2 / 50)).astype(np.float32)
+        fl = np.asarray(flatten_height_map_in_area_of_interest(
+            jnp.asarray(plane), jnp.asarray(mask)))
+        assert (fl[~mask] == 0).all()
+        assert abs(fl[mask].min()) < 1e-5           # shifted to zero
+        assert fl[H // 2, W // 2] > fl[mask].mean()  # bump survives deplaning
+
+    def test_estimate_light_direction_ramp_semantics(self):
+        from libstevi_tpu.imageproc.shape_from_shading import \
+            estimate_light_direction_from_shading
+        H = W = 48
+        jj = np.mgrid[0:H, 0:W][1].astype(np.float32)
+        ramp = 0.2 + 0.6 * jj / W
+        got = np.asarray(estimate_light_direction_from_shading(
+            jnp.asarray(ramp)))
+        # documented reference convention (`:1203-1207`): x = -dir_cols,
+        # y = +dir_rows, z = 1 (45-degree elevation)
+        np.testing.assert_allclose(got, [-1.0, 0.0, 1.0], atol=1e-3)
+
+    def test_gradient_based_edges(self):
+        from libstevi_tpu.imageproc.shape_from_shading import \
+            gradient_based_edges
+        img = np.zeros((40, 40, 3), np.float32)
+        img[:, 20:] = 1.0
+        mask, grads = gradient_based_edges(jnp.asarray(img), 0.1)
+        m = np.asarray(mask)
+        assert 0.05 <= m.mean() <= 0.16              # ~prop_edges selected
+        cols = np.where(m.any(0))[0]
+        assert set(cols) <= {19, 20, 21}             # edges sit on the step
+        g = np.asarray(grads)
+        assert (np.abs(g[..., 0][m]) > 0).all()      # column gradient
+        assert (g[~m] == 0).all()
+
+
 class TestCheckerboard:
     """Rendered boards with exact analytic corner GT: the detector must
     survive blur / rotation / perspective and localize sub-0.1 px
