@@ -13,6 +13,10 @@ from .connected_components import connected_components, cluster_stats
 from .inpainting import nearest_neighbor_inpainting, diffusion_inpainting
 from .fourier import FourierTransformCalculator
 from .meanshift import mean_shift_clustering
+from .intrinsic_decomposition import (
+    IntrinsicDecomposition, retinex_with_nonlocal_texture_constraint,
+    auto_retinex_with_nonlocal_texture_constraint, retinex_fft,
+    perform_intrinsic_image_decomposition)
 from .shape_from_shading import (
     estimate_light_direction_from_shading, initial_normal_map_estimate,
     normal_map_from_single_shading_image,
@@ -35,6 +39,9 @@ __all__ = [
     "connected_components", "cluster_stats",
     "nearest_neighbor_inpainting", "diffusion_inpainting",
     "FourierTransformCalculator", "mean_shift_clustering",
+    "IntrinsicDecomposition", "retinex_with_nonlocal_texture_constraint",
+    "auto_retinex_with_nonlocal_texture_constraint", "retinex_fft",
+    "perform_intrinsic_image_decomposition",
     "estimate_light_direction_from_shading", "initial_normal_map_estimate",
     "normal_map_from_single_shading_image",
     "normal_map_from_intrinsic_decomposition", "gradient_based_edges",

@@ -33,6 +33,15 @@ class Histogram:
     def centers(self) -> jnp.ndarray:
         return (self.edges[:-1] + self.edges[1:]) / 2.0
 
+    def entropy(self) -> jnp.ndarray:
+        """Shannon entropy of the bin distribution in nats.  The
+        reference's `Histogram::entropy` (`histogram.h:321-330`) returns
+        the sum of SQUARED bin counts — a collision count, not an
+        entropy; we compute the documented intent."""
+        c = self.counts.astype(jnp.float32)
+        p = c / jnp.maximum(jnp.sum(c), 1.0)
+        return -jnp.sum(jnp.where(p > 0, p * jnp.log(p), 0.0))
+
 
 def otsu_threshold(data: jnp.ndarray, n_bins: int = 256) -> jnp.ndarray:
     """Threshold maximizing between-class variance (`computeOtsuThreshold`,

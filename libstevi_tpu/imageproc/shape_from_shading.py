@@ -520,7 +520,12 @@ def refine_normals(image: jnp.ndarray, normals0: jnp.ndarray,
 def integrate_normals(normals: jnp.ndarray) -> jnp.ndarray:
     """Normals -> height via the Frankot-Chellappa integrability projection
     (FFT fast path; the reference-parity least-squares integration is
-    `height_from_normal_map`)."""
+    `height_from_normal_map`).  Jitted: eager complex FFT ops are
+    unimplemented on the TPU backend."""
+    return jax.jit(_integrate_normals_impl)(normals)
+
+
+def _integrate_normals_impl(normals: jnp.ndarray) -> jnp.ndarray:
     n = normals.astype(jnp.float32)
     nz = jnp.where(jnp.abs(n[..., 2]) > 1e-4, n[..., 2], 1e-4)
     p = -n[..., 0] / nz   # dz/drow

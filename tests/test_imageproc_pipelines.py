@@ -47,6 +47,45 @@ class TestIntrinsic:
         r = np.asarray(dec.reflectance)
         assert np.isfinite(r).all()
 
+    def test_nonlocal_texture_retinex_recovers_ramp(self, rng):
+        """Reference-parity RGB solver
+        (`intrinsicImageDecomposition.h:60-545`): exact reconstruction and
+        the smooth shading ramp lands in the shading channel."""
+        from libstevi_tpu.imageproc.intrinsic_decomposition import \
+            retinex_with_nonlocal_texture_constraint
+        H = W = 32
+        base = rng.uniform(0.2, 1.0, (4, 4, 3))
+        refl = np.kron(base, np.ones((8, 8, 1)))[:H, :W]
+        shading = np.linspace(0.3, 1.0, W, dtype=np.float32)[None, :, None]
+        img = (refl * shading).astype(np.float32)
+        dec = retinex_with_nonlocal_texture_constraint(jnp.asarray(img),
+                                                       2e-3)
+        S = np.asarray(dec.shading)
+        R = np.asarray(dec.reflectance)
+        assert np.isfinite(S).all() and np.isfinite(R).all()
+        # decomposition is exact: R * S == img
+        np.testing.assert_allclose(R * S, img, atol=1e-4)
+        # recovered shading column profile follows the true ramp
+        prof = S[:, :, 0].mean(0)
+        corr = np.corrcoef(prof, shading[0, :, 0])[0, 1]
+        assert corr > 0.95, corr
+        # reflectance is near-constant inside each block despite the ramp
+        blk = R[2:6, 2:6, 0]
+        assert blk.std() / blk.mean() < 0.1
+
+    def test_auto_retinex_sweeps_thresholds(self, rng):
+        from libstevi_tpu.imageproc.intrinsic_decomposition import \
+            auto_retinex_with_nonlocal_texture_constraint
+        H = W = 24
+        refl = np.kron(rng.uniform(0.3, 1.0, (3, 3, 3)),
+                       np.ones((8, 8, 1)))[:H, :W]
+        shading = np.linspace(0.4, 1.0, H, dtype=np.float32)[:, None, None]
+        img = (refl * shading * 255).astype(np.float32)
+        dec = auto_retinex_with_nonlocal_texture_constraint(
+            jnp.asarray(img))
+        assert dec is not None
+        assert np.isfinite(np.asarray(dec.shading)).all()
+
 
 class TestShapeFromShading:
     def _dome(self, H=48, W=48):
