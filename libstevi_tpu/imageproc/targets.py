@@ -1,12 +1,34 @@
 """Hexagonal RGB fiducial target detection.
 
 Reference parity: `imageProcessing/hexagonalRGBTargetsDetection.h` —
-`detectHexTargets` (:233): cluster saturated color blobs, take centroids,
-validate the hexagonal arrangement (six peripheral blobs around a center)
-geometrically.
+`detectHexTargets` (:233-500): a target is SIX colored dots on hexagon
+corners; exactly one carries the main color (the reference dot, Blue by
+default) and the other five encode bits through the positive/negative
+colors (Red/Green).  Detection:
 
-Design: color thresholding + connected components run on device; the
-small-candidate geometric validation is host-side.
+  * candidate pixels: min(R,G,B) <= threshold_min OR
+    max-min >= threshold_diff (:262-275);
+  * Queen connected components, filtered by area in [min_area, max_area]
+    and by minor/major scatter-axis ratio (:283-307,
+    `connectedComponents.h:293` sqrt-eigenvalue axes);
+  * greedy hexagon assembly: each unused cluster grabs its 5 nearest
+    unused neighbours; the set must fit an ellipse
+    (a x^2 + b xy + c y^2 = 1 least squares on centered centroids, max
+    |residual| <= hex_rel_res_threshold, c >= (b/2)^2) and span less
+    than rel_max_hex_diameter of the image (:340-384);
+  * cluster colors from gained channel means; exactly one main-color dot
+    (:396-430);
+  * sub-pixel refinement by `clusterBlurryCentroid` (:63-196): the
+    cluster mask is dilated, pixels weighted by 1 - (color distance to
+    the cluster mean) / max distance, positions averaged;
+  * orientation: dots sorted by angle from the main dot, inverted
+    trigonometric direction to match image coordinates (:434-466).
+
+TPU design: the pixel-level stages (thresholds, connected components)
+run on device; the per-cluster geometric assembly is a small host loop
+(tens of clusters).  Deviation: `clusterBlurryCentroid`'s dilation loop
+(:131-146) overwrites the output cell per neighbour so only the (+1,+1)
+offset survives; we apply a true 8-neighbour dilation (the intent).
 """
 
 from __future__ import annotations
@@ -16,49 +38,164 @@ from dataclasses import dataclass
 import numpy as np
 import jax.numpy as jnp
 
+RED, GREEN, BLUE = 0, 1, 2
+
 
 @dataclass
-class HexTarget:
-    center: tuple
-    corners: np.ndarray      # (6, 2) peripheral blob centroids (row, col)
+class HexTargetPosition:
+    """`HexRgbTarget::HexTargetPosition` (:53-60): reference-dot position
+    plus the five encoding dots in angular order, with their
+    positive-color flags.  Positions are (row, col)."""
+
+    pos_ref_dot: np.ndarray          # (2,)
+    dots_positives: np.ndarray       # (5,) bool
+    dots_positions: np.ndarray       # (5, 2)
+
+    # compatibility accessors for the round-1 API
+    @property
+    def center(self):
+        pts = np.vstack([self.pos_ref_dot[None], self.dots_positions])
+        return tuple(pts.mean(0))
+
+    @property
+    def corners(self):
+        return np.vstack([self.pos_ref_dot[None], self.dots_positions])
 
 
-def _blob_centroids(mask: np.ndarray, min_size: int = 4):
-    from .connected_components import connected_components, cluster_stats
-    stats = cluster_stats(connected_components(jnp.asarray(mask)))
-    return [s["centroid"] for s in stats if s["size"] >= min_size]
+def cluster_blurry_centroid(img: np.ndarray, cluster_mask: np.ndarray,
+                            dilation_radius: int = 3) -> np.ndarray:
+    """Sub-pixel blob center for a blurry colored dot
+    (`hexagonalRGBTargetsDetection.h:63-196`): mean color over the core
+    mask, mask dilated ``dilation_radius`` times, pixels weighted by
+    1 - colordist/maxdist, weighted position mean."""
+    iy, ix = np.nonzero(cluster_mask)
+    mean = img[iy, ix].astype(np.float64).mean(0)
+
+    ext = cluster_mask.copy()
+    for _ in range(dilation_radius):
+        grown = ext.copy()
+        grown[1:] |= ext[:-1]
+        grown[:-1] |= ext[1:]
+        grown[:, 1:] |= ext[:, :-1]
+        grown[:, :-1] |= ext[:, 1:]
+        grown[1:, 1:] |= ext[:-1, :-1]
+        grown[1:, :-1] |= ext[:-1, 1:]
+        grown[:-1, 1:] |= ext[1:, :-1]
+        grown[:-1, :-1] |= ext[1:, 1:]
+        ext = grown
+
+    ey, ex = np.nonzero(ext)
+    d = np.linalg.norm(img[ey, ex].astype(np.float64) - mean, axis=1)
+    dmax = d.max()
+    w = 1.0 - d / dmax if dmax > 0 else np.ones_like(d)
+    ws = w.sum()
+    return np.stack([(w * ey).sum() / ws, (w * ex).sum() / ws])
 
 
-def detect_hex_targets(image: np.ndarray, saturation_threshold: float = 0.5,
-                       value_threshold: float = 0.3,
-                       radius_tol: float = 0.35) -> list[HexTarget]:
-    """image: (H, W, 3) RGB in [0, 1].  Returns detected hexagonal targets.
-    """
-    from .color import rgb_to_hsv
-    hsv = np.asarray(rgb_to_hsv(jnp.asarray(image, jnp.float32)))
-    colored = (hsv[..., 1] > saturation_threshold) \
-        & (hsv[..., 2] > value_threshold)
-    cents = np.asarray(_blob_centroids(colored))
-    if len(cents) < 7:
+def detect_hex_targets(image, threshold_min: float = 0.3,
+                       threshold_diff: float = 0.3,
+                       min_area: int = 10, max_area: int = 800,
+                       minor_major_axis_ratio: float = 0.6,
+                       rel_max_hex_diameter: float = 0.2,
+                       red_gain: float = 1.0, green_gain: float = 1.0,
+                       blue_gain: float = 1.0,
+                       hex_rel_res_threshold: float = 0.1,
+                       main_color: int = BLUE, positive_color: int = RED,
+                       negative_color: int = GREEN
+                       ) -> list[HexTargetPosition]:
+    """Detect hexagonal RGB targets in an (H, W, 3) image
+    (`detectHexTargets`, :233).  Returns one `HexTargetPosition` per
+    validated hexagon."""
+    assert len({main_color, positive_color, negative_color}) == 3
+    from .connected_components import connected_components, \
+        relabel_consecutive
+
+    img = np.asarray(image, np.float32)
+    H, W, C = img.shape
+    assert C == 3
+
+    mn = img.min(-1)
+    mx = img.max(-1)
+    selected = (mn <= threshold_min) | (mx - mn >= threshold_diff)
+
+    labels, k = relabel_consecutive(
+        connected_components(jnp.asarray(selected), contiguity="queen"))
+    lab = np.asarray(labels)
+
+    gains = np.asarray([red_gain, green_gain, blue_gain], np.float32)
+
+    cents, masks, colors = [], [], []
+    for c in range(k):
+        sel = lab == c
+        area = int(sel.sum())
+        if area < min_area or area > max_area:
+            continue
+        iy, ix = np.nonzero(sel)
+        pts = np.stack([iy, ix]).astype(np.float64)
+        ctr = pts.mean(1)
+        centered = pts - ctr[:, None]
+        # sqrt-eigenvalue minor/major axes of the (unnormalized) scatter
+        # matrix (`connectedComponents.h:293-363`)
+        evals = np.linalg.eigvalsh(centered @ centered.T)
+        minor, major = np.sqrt(np.maximum(evals, 0.0))
+        if minor < minor_major_axis_ratio * major:
+            continue
+        mean_rgb = img[iy, ix].mean(0) * gains
+        cents.append(ctr)
+        masks.append(sel)
+        colors.append(int(np.argmax(mean_rgb)))
+
+    n = len(cents)
+    if n < 6:
         return []
+    cents = np.asarray(cents)
 
-    targets = []
-    for i, c in enumerate(cents):
-        d = np.linalg.norm(cents - c, axis=1)
-        order = np.argsort(d)
-        ring = order[1:7]
-        if len(ring) < 6:
+    used = np.zeros(n, bool)
+    ret = []
+    for si in range(n):
+        if used[si]:
             continue
-        r = d[ring]
-        if r.max() <= 0:
+        d = np.linalg.norm(cents - cents[si], axis=1)
+        d[used] = np.inf
+        order = np.argsort(d, kind="stable")
+        six = order[:6]                       # includes si (distance 0)
+        if not np.isfinite(d[six]).all():
             continue
-        # hexagon: six roughly equidistant neighbors at ~60 degree spacing
-        if (r.max() - r.min()) / r.mean() > radius_tol:
+        if d[six[5]] > rel_max_hex_diameter * max(H, W):
             continue
-        vecs = cents[ring] - c
-        angles = np.sort(np.arctan2(vecs[:, 0], vecs[:, 1]))
-        gaps = np.diff(np.concatenate([angles, [angles[0] + 2 * np.pi]]))
-        if np.abs(gaps - np.pi / 3).max() > np.pi / 6:
+
+        center = cents[six].mean(0)
+        c0 = cents[six] - center
+        A = np.stack([c0[:, 0] ** 2, c0[:, 0] * c0[:, 1],
+                      c0[:, 1] ** 2], 1)
+        params, *_ = np.linalg.lstsq(A, np.ones(6), rcond=None)
+        res = A @ params - 1.0
+        if np.abs(res).max() > hex_rel_res_threshold:
             continue
-        targets.append(HexTarget(center=tuple(c), corners=cents[ring]))
-    return targets
+        if params[2] < (params[1] / 2) ** 2:   # not an ellipse (:377)
+            continue
+
+        cols = [colors[i] for i in six]
+        mains = [i for i, c in enumerate(cols) if c == main_color]
+        if len(mains) != 1:
+            continue
+        main_id = mains[0]
+
+        refined = np.stack([
+            cluster_blurry_centroid(img, masks[i]) for i in six])
+
+        # inverted trigonometric direction to match image coordinates
+        angles = np.arctan2(c0[:, 0], c0[:, 1])
+        angles = angles - angles[main_id]
+        angles = np.where(angles < 0, 2 * np.pi + angles, angles)
+        angles[main_id] = 0.0
+        hex_order = np.argsort(angles, kind="stable")
+
+        ret.append(HexTargetPosition(
+            pos_ref_dot=refined[hex_order[0]],
+            dots_positives=np.asarray(
+                [cols[i] == positive_color for i in hex_order[1:]]),
+            dots_positions=refined[hex_order[1:]],
+        ))
+        used[six] = True
+    return ret

@@ -392,23 +392,66 @@ class TestCheckerboard:
 
 
 class TestHexTargets:
-    def test_synthetic_hex(self):
-        img = np.zeros((64, 64, 3), np.float32)
-        img[...] = 0.1
-        center = np.array([32, 32])
-        import math
-        def blob(r, c, color):
-            img[int(r) - 2:int(r) + 3, int(c) - 2:int(c) + 3] = color
-        blob(32, 32, [1.0, 0.0, 0.0])
+    """Reference-style targets: six colored dots on hexagon corners on
+    white paper, exactly one main-color (blue) reference dot, the others
+    encoding bits as red (positive) / green (negative)
+    (`hexagonalRGBTargetsDetection.h:233`)."""
+
+    COLORS = {"r": (1.0, 0.08, 0.08), "g": (0.08, 1.0, 0.08),
+              "b": (0.08, 0.08, 1.0)}
+
+    @classmethod
+    def _render(cls, center=(32.0, 32.0), radius=12.0, phase=0.3,
+                code="bggrgr", H=64, W=64, dot_rad=2.6):
+        img = np.ones((H, W, 3), np.float32)
+        yy, xx = np.mgrid[0:H, 0:W].astype(np.float64)
+        gt = []
+        for k, ch in enumerate(code):
+            a = phase + k * np.pi / 3
+            r = center[0] + radius * np.sin(a)
+            c = center[1] + radius * np.cos(a)
+            m = (yy - r) ** 2 + (xx - c) ** 2 <= dot_rad ** 2
+            img[m] = cls.COLORS[ch]
+            gt.append((r, c, ch))
+        return img, gt
+
+    def test_detects_and_decodes(self):
+        img, gt = self._render()
+        targets = detect_hex_targets(img, rel_max_hex_diameter=0.45)
+        assert len(targets) == 1
+        t = targets[0]
+        # reference dot is the blue one, sub-pixel accurate
+        br, bc, _ = next(g for g in gt if g[2] == "b")
+        assert abs(t.pos_ref_dot[0] - br) < 0.5
+        assert abs(t.pos_ref_dot[1] - bc) < 0.5
+        # the five bit dots decode red=positive in angular order: derive
+        # the expected order with the same angle convention
+        pts = np.asarray([(g[0], g[1]) for g in gt])
+        ctr = pts.mean(0)
+        ang = np.arctan2(pts[:, 0] - ctr[0], pts[:, 1] - ctr[1])
+        main = next(i for i, g in enumerate(gt) if g[2] == "b")
+        ang = ang - ang[main]
+        ang = np.where(ang < 0, 2 * np.pi + ang, ang)
+        ang[main] = 0.0
+        order = np.argsort(ang, kind="stable")[1:]
+        want_bits = [gt[i][2] == "r" for i in order]
+        assert list(t.dots_positives) == want_bits
+        for k, i in enumerate(order):
+            assert np.linalg.norm(t.dots_positions[k]
+                                  - np.asarray(gt[i][:2])) < 0.5
+
+    def test_rejects_non_hexagonal_layouts(self):
+        # six dots on a line fail the ellipse validation
+        img = np.ones((64, 96, 3), np.float32)
+        yy, xx = np.mgrid[0:64, 0:96].astype(np.float64)
         for k in range(6):
-            a = k * math.pi / 3
-            blob(32 + 12 * math.sin(a), 32 + 12 * math.cos(a),
-                 [0.0, 1.0, 0.0] if k % 2 else [0.0, 0.0, 1.0])
-        targets = detect_hex_targets(img)
-        assert len(targets) >= 1
-        c = min(targets, key=lambda t: (t.center[0] - 32) ** 2
-                + (t.center[1] - 32) ** 2)
-        assert abs(c.center[0] - 32) < 2 and abs(c.center[1] - 32) < 2
+            m = (yy - 32) ** 2 + (xx - (26 + 8 * k)) ** 2 <= 2.6 ** 2
+            img[m] = self.COLORS["r" if k else "b"]
+        assert detect_hex_targets(img, rel_max_hex_diameter=0.45) == []
+
+    def test_requires_single_main_dot(self):
+        img, _ = self._render(code="bbgrgr")   # two blue dots
+        assert detect_hex_targets(img, rel_max_hex_diameter=0.45) == []
 
 
 class TestEdges:
