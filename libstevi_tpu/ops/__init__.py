@@ -29,7 +29,13 @@ from .image_refinement import (
     refine_subpart_barycentric_2d_disp,
     refine_subpart_barycentric_symmetric_2d_disp,
     refine_arbitrary_interpolation_disp,
-    refine_arbitrary_interpolation_2d_disp)
+    refine_arbitrary_interpolation_2d_disp,
+    refined_barycentric_symmetric_disp_fv, refined_barycentric_disp_fv,
+    refined_cost_symmetric_disp_fv, refined_barycentric_2d_disp_fv,
+    refined_barycentric_symmetric_2d_disp_fv,
+    refined_barycentric_symmetric_disp, refined_barycentric_disp,
+    refined_cost_symmetric_disp, refined_barycentric_2d_disp,
+    refined_barycentric_symmetric_2d_disp)
 from .refinement import (
     InterpolationKernel,
     refine_disp_cost_interpolation,

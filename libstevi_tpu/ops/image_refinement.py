@@ -612,3 +612,186 @@ def refine_arbitrary_interpolation_2d_disp(
 
     refined = jnp.stack([best_d0, best_d1], -1)
     return jnp.where(valid[..., None], refined, d.astype(jnp.float32))
+
+
+# ---------------------------------------------------------------------------
+# Feature-volume and image-level convenience entry points
+# (`image_based_refinement.h:1692-2795`): build the cost volume, extract
+# the WTA index and refine in one call.  Trait-driven preprocessing per
+# `refined*DispFeatureVol` (:1702-1767): ZeroMean+Normalized functions
+# match on the normalized volumes and refine on the zero-mean ones unless
+# ``pre_normalize``; Normalized-only functions refine on the raw volumes
+# unless ``pre_normalize``.  The subpart (sliding-sub-window) variants are
+# selected automatically for the sampling costs (MEDAD/ZMEDAD), as the
+# reference's trait dispatch does (:2435-2469).
+# ---------------------------------------------------------------------------
+
+_SUBPART_FUNCS = (MatchingFunction.MEDAD, MatchingFunction.ZMEDAD)
+
+
+def _trait_volumes(func, fv_l, fv_r, pre_normalize):
+    """Returns ((cv_fv_l, cv_fv_r), (refine_fv_l, refine_fv_r)) per the
+    matching function's ZeroMean/Normalized traits."""
+    from .cost_volume import (channels_mean, channels_norm,
+                              channels_zero_mean_norm)
+    tr = MATCH_TRAITS[func]
+    fv_l = fv_l.astype(jnp.float32)
+    fv_r = fv_r.astype(jnp.float32)
+    if tr.zero_mean and tr.normalized:
+        ml, mr = channels_mean(fv_l), channels_mean(fv_r)
+        zl, zr = fv_l - ml[..., None], fv_r - mr[..., None]
+        sl = channels_zero_mean_norm(fv_l, ml)
+        sr = channels_zero_mean_norm(fv_r, mr)
+        nl, nr = zl / sl[..., None], zr / sr[..., None]
+        return (nl, nr), ((nl, nr) if pre_normalize else (zl, zr))
+    if tr.zero_mean:
+        zl = fv_l - channels_mean(fv_l)[..., None]
+        zr = fv_r - channels_mean(fv_r)[..., None]
+        return (zl, zr), (zl, zr)
+    if tr.normalized:
+        nl = fv_l / channels_norm(fv_l)[..., None]
+        nr = fv_r / channels_norm(fv_r)[..., None]
+        return (nl, nr), ((nl, nr) if pre_normalize else (fv_l, fv_r))
+    return (fv_l, fv_r), (fv_l, fv_r)
+
+
+def _cv_and_index(func, cv_l, cv_r, search, direction):
+    from .cost_volume import aggregate_cost, extract_selected_index
+    cv = aggregate_cost(func, cv_l, cv_r, search, direction)
+    return extract_selected_index(cv, MATCH_TRAITS[func].strategy)
+
+
+def refined_barycentric_symmetric_disp_fv(
+        func, fv_l, fv_r, search_range: int, refine_radius: int = 1,
+        direction=DispDirection.RIGHT_TO_LEFT, pre_normalize: bool = False,
+        test_sets_idxs=None):
+    """`refinedBarycentricSymmetricDispFeatureVol`
+    (`image_based_refinement.h:1693`) / `refinedSubpart...` (:1779) when
+    ``test_sets_idxs`` is given."""
+    (cl, cr), (rl, rr) = _trait_volumes(func, fv_l, fv_r, pre_normalize)
+    idx = _cv_and_index(func, cl, cr, search_range, direction)
+    return refine_barycentric_symmetric_disp(
+        func, rl, rr, idx, search_range, refine_radius, direction,
+        test_sets_idxs)
+
+
+def refined_barycentric_disp_fv(
+        func, fv_l, fv_r, search_range: int,
+        direction=DispDirection.RIGHT_TO_LEFT, pre_normalize: bool = False,
+        test_sets_idxs=None):
+    """`refinedBarycentricDispFeatureVol` (:1855) / subpart (:1941)."""
+    (cl, cr), (rl, rr) = _trait_volumes(func, fv_l, fv_r, pre_normalize)
+    idx = _cv_and_index(func, cl, cr, search_range, direction)
+    return refine_barycentric_disp(func, rl, rr, idx, direction,
+                                   test_sets_idxs)
+
+
+def refined_cost_symmetric_disp_fv(
+        func, fv_l, fv_r, search_range: int,
+        direction=DispDirection.RIGHT_TO_LEFT, pre_normalize: bool = False,
+        kernel=None):
+    """`refinedCostSymmetricDispFeatureVol` (:2352)."""
+    (cl, cr), (rl, rr) = _trait_volumes(func, fv_l, fv_r, pre_normalize)
+    idx = _cv_and_index(func, cl, cr, search_range, direction)
+    return refine_cost_symmetric_disp(func, rl, rr, idx, search_range,
+                                      direction, kernel)
+
+
+def refined_barycentric_2d_disp_fv(
+        func, fv_l, fv_r, search, direction=DispDirection.RIGHT_TO_LEFT,
+        pre_normalize: bool = False, test_sets_idxs=None):
+    """`refinedBarycentric2dDispFeatureVol` (:2020) / subpart (:2108).
+    ``search`` is a SearchOffset2; returns the refined (H, W, 2) flow."""
+    from .cost_volume import (aggregate_cost, extract_selected_2d_index,
+                              selected_2d_index_to_disp)
+    (cl, cr), (rl, rr) = _trait_volumes(func, fv_l, fv_r, pre_normalize)
+    cv = aggregate_cost(func, cl, cr, search, direction)
+    idx = extract_selected_2d_index(cv, MATCH_TRAITS[func].strategy)
+    d = selected_2d_index_to_disp(idx, search)
+    src, tgt = ((rr, rl) if direction is DispDirection.RIGHT_TO_LEFT
+                else (rl, rr))
+    return refine_barycentric_2d_disp(func, src, tgt, d, test_sets_idxs)
+
+
+def refined_barycentric_symmetric_2d_disp_fv(
+        func, fv_l, fv_r, search, contiguity: Contiguity = Contiguity.QUEEN,
+        direction=DispDirection.RIGHT_TO_LEFT, pre_normalize: bool = False,
+        test_sets_idxs=None):
+    """`refinedBarycentricSymmetric2dDispFeatureVol` (:2187) / subpart
+    (:2275)."""
+    from .cost_volume import (aggregate_cost, extract_selected_2d_index,
+                              selected_2d_index_to_disp)
+    (cl, cr), (rl, rr) = _trait_volumes(func, fv_l, fv_r, pre_normalize)
+    cv = aggregate_cost(func, cl, cr, search, direction)
+    idx = extract_selected_2d_index(cv, MATCH_TRAITS[func].strategy)
+    d = selected_2d_index_to_disp(idx, search)
+    return refine_barycentric_symmetric_2d_disp(
+        func, rl, rr, d, search, contiguity, direction, test_sets_idxs)
+
+
+def _unfold_pair(img_l, img_r, h_radius, v_radius):
+    from .unfold import unfold, unfold_sliding_subwindow_idxs
+    fv_l = unfold(h_radius, v_radius, img_l)
+    fv_r = unfold(h_radius, v_radius, img_r)
+    channels = 1 if img_l.ndim == 2 else img_l.shape[2]
+    sub = unfold_sliding_subwindow_idxs(h_radius, v_radius, h_radius + 1,
+                                        v_radius + 1, channels)
+    return fv_l, fv_r, sub
+
+
+def refined_barycentric_symmetric_disp(
+        func, img_l, img_r, h_radius: int, v_radius: int, search_range: int,
+        refine_radius: int = 1, direction=DispDirection.RIGHT_TO_LEFT,
+        pre_normalize: bool = False):
+    """Image-level entry (`refinedBarycentricSymmetricDisp`, :2427):
+    unfold both images, then cost volume + WTA + symmetric barycentric
+    refinement; the sampling costs (MEDAD/ZMEDAD) automatically use the
+    sliding-sub-window subpart solver (:2460-2467)."""
+    fv_l, fv_r, sub = _unfold_pair(img_l, img_r, h_radius, v_radius)
+    ts = sub if func in _SUBPART_FUNCS else None
+    return refined_barycentric_symmetric_disp_fv(
+        func, fv_l, fv_r, search_range, refine_radius, direction,
+        pre_normalize, ts)
+
+
+def refined_barycentric_disp(
+        func, img_l, img_r, h_radius: int, v_radius: int, search_range: int,
+        direction=DispDirection.RIGHT_TO_LEFT, pre_normalize: bool = False):
+    """`refinedBarycentricDisp` (:2503)."""
+    fv_l, fv_r, sub = _unfold_pair(img_l, img_r, h_radius, v_radius)
+    ts = sub if func in _SUBPART_FUNCS else None
+    return refined_barycentric_disp_fv(func, fv_l, fv_r, search_range,
+                                       direction, pre_normalize, ts)
+
+
+def refined_cost_symmetric_disp(
+        func, img_l, img_r, h_radius: int, v_radius: int, search_range: int,
+        direction=DispDirection.RIGHT_TO_LEFT, pre_normalize: bool = False,
+        kernel=None):
+    """`refinedCostSymmetricDisp` (:2574)."""
+    from .unfold import unfold
+    fv_l = unfold(h_radius, v_radius, img_l)
+    fv_r = unfold(h_radius, v_radius, img_r)
+    return refined_cost_symmetric_disp_fv(func, fv_l, fv_r, search_range,
+                                          direction, pre_normalize, kernel)
+
+
+def refined_barycentric_2d_disp(
+        func, img_l, img_r, h_radius: int, v_radius: int, search,
+        direction=DispDirection.RIGHT_TO_LEFT, pre_normalize: bool = False):
+    """`refinedBarycentric2dDisp` (:2632)."""
+    fv_l, fv_r, sub = _unfold_pair(img_l, img_r, h_radius, v_radius)
+    ts = sub if func in _SUBPART_FUNCS else None
+    return refined_barycentric_2d_disp_fv(func, fv_l, fv_r, search,
+                                          direction, pre_normalize, ts)
+
+
+def refined_barycentric_symmetric_2d_disp(
+        func, img_l, img_r, h_radius: int, v_radius: int, search,
+        contiguity: Contiguity = Contiguity.QUEEN,
+        direction=DispDirection.RIGHT_TO_LEFT, pre_normalize: bool = False):
+    """`refinedBarycentricSymmetric2dDisp` (:2714)."""
+    fv_l, fv_r, sub = _unfold_pair(img_l, img_r, h_radius, v_radius)
+    ts = sub if func in _SUBPART_FUNCS else None
+    return refined_barycentric_symmetric_2d_disp_fv(
+        func, fv_l, fv_r, search, contiguity, direction, pre_normalize, ts)

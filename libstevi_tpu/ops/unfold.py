@@ -134,3 +134,36 @@ def unfold_offsets(offsets, image: jnp.ndarray, dtype=None) -> jnp.ndarray:
         slices.append(padded[max_up + di:max_up + di + H,
                              max_left + dj:max_left + dj + W, c])
     return jnp.stack(slices, axis=-1)
+
+
+def unfold_sliding_subwindow_idxs(h_radius: int, v_radius: int,
+                                  sub_h_size: int, sub_v_size: int,
+                                  channels: int = 1) -> np.ndarray:
+    """Feature-row index sets of every (sub_v, sub_h) sub-window sliding
+    inside the full (2v+1, 2h+1) unfold window
+    (`getUnfoldFeatureSlidingSubwindowIdxs`, `unfold.h:203-246`).  Returns
+    (n_subwindows, sub_h*sub_v*channels) int32 — the transpose of the
+    reference's column-major matrix, matching the (n_sets, k)
+    ``test_sets_idxs`` convention of the refinement solvers."""
+    h_orig = 2 * h_radius + 1
+    v_orig = 2 * v_radius + 1
+    n_h = h_orig - sub_h_size + 1
+    n_v = v_orig - sub_v_size + 1
+    if n_h < 1 or n_v < 1 or sub_h_size * sub_v_size * channels < 1:
+        return np.zeros((0, 0), np.int32)
+    out = np.empty((n_v * n_h, sub_h_size * sub_v_size * channels),
+                   np.int32)
+    for i in range(n_v):
+        for j in range(n_h):
+            col = i * n_h + j
+            for k in range(sub_v_size):
+                for l in range(sub_h_size):
+                    for c in range(channels):
+                        src = _channel_from_coord(
+                            i + k, j + l, c, h_orig, v_orig, channels,
+                            PatchOrientation.ROTATE_0)
+                        dst = _channel_from_coord(
+                            k, l, c, sub_h_size, sub_v_size, channels,
+                            PatchOrientation.ROTATE_0)
+                        out[col, dst] = src
+    return out

@@ -47,11 +47,19 @@ def least_absolute_median(A: jnp.ndarray, b: jnp.ndarray,
     if subsets is None:
         subsets = _subsets(n, k)
     idx = jnp.asarray(subsets)
+    square = subsets.shape[1] == k
 
     def solve_subset(sub):
         As = A[sub]
         bs = b[sub]
-        x = jnp.linalg.solve(As + 1e-12 * jnp.eye(k), bs)
+        if square:
+            x = jnp.linalg.solve(As + 1e-12 * jnp.eye(k), bs)
+        else:
+            # caller-supplied sets larger than the unknown count (e.g. the
+            # sliding-sub-window sets of `unfold_sliding_subwindow_idxs`)
+            # are solved least-squares, per `leastmedianoptimization.h:152`
+            # ("reuse the least square solver")
+            x = jnp.linalg.lstsq(As, bs)[0]
         return x, _median_abs(A @ x - b)
 
     xs, meds = jax.vmap(solve_subset)(idx)

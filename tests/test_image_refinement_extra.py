@@ -6,7 +6,7 @@ import numpy as np
 import jax.numpy as jnp
 import pytest
 
-from libstevi_tpu.core import MatchingFunction
+from libstevi_tpu.core import MatchingFunction, DispDirection
 from libstevi_tpu.core.search import SearchOffset2
 from libstevi_tpu.ops.unfold import unfold
 from libstevi_tpu.ops.cost_volume import normalize_feature_volume
@@ -174,3 +174,83 @@ def test_arbitrary_interpolation_2d_improves(rng):
     base_err = np.hypot(0.3, 0.6)
     err = np.hypot(inner[..., 0] - 0.3, inner[..., 1] - 0.6).mean()
     assert err < base_err
+
+
+# ---------------------------------------------------------------------------
+# FeatureVol / image-level convenience wrappers (:1692-2795)
+# ---------------------------------------------------------------------------
+
+def test_fv_wrapper_matches_manual_chain(rng):
+    """`refinedBarycentricSymmetricDispFeatureVol` == the hand-assembled
+    normalize -> aggregate -> WTA -> refine-on-zero-mean chain
+    (`image_based_refinement.h:1702-1723`)."""
+    from libstevi_tpu.ops.image_refinement import (
+        refined_barycentric_symmetric_disp_fv,
+        refine_barycentric_symmetric_disp)
+    from libstevi_tpu.ops.cost_volume import (
+        aggregate_cost, extract_selected_index, channels_mean)
+    from libstevi_tpu.core import ExtractionStrategy
+    func = MatchingFunction.ZNCC
+    left, right = _pair(rng)
+    fl = unfold(2, 2, jnp.asarray(left))
+    fr = unfold(2, 2, jnp.asarray(right))
+    D = 8
+    got = refined_barycentric_symmetric_disp_fv(func, fl, fr, D)
+
+    nl = normalize_feature_volume(func, fl)
+    nr = normalize_feature_volume(func, fr)
+    cv = aggregate_cost(func, nl, nr, D)
+    idx = extract_selected_index(cv, ExtractionStrategy.SCORE)
+    zl = fl - channels_mean(fl)[..., None]
+    zr = fr - channels_mean(fr)[..., None]
+    want = refine_barycentric_symmetric_disp(func, zl, zr, idx, D)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+def test_image_level_wrapper_recovers_subpixel(rng):
+    from libstevi_tpu.ops.image_refinement import \
+        refined_barycentric_symmetric_disp
+    left, right = _pair(rng)
+    out = refined_barycentric_symmetric_disp(
+        MatchingFunction.ZNCC, jnp.asarray(left), jnp.asarray(right),
+        2, 2, 8)
+    assert _inner_err(out) < 0.35
+    assert _inner_err(out) < abs(round(TRUE_D) - TRUE_D) + 0.05
+
+
+def test_image_level_medad_routes_subpart(rng):
+    """MEDAD carries the sliding-sub-window subpart solver automatically
+    (:2460-2467) — must run and beat the integer WTA."""
+    from libstevi_tpu.ops.image_refinement import refined_barycentric_disp
+    left, right = _pair(rng)
+    out = refined_barycentric_disp(
+        MatchingFunction.MEDAD, jnp.asarray(left), jnp.asarray(right),
+        2, 2, 8)
+    assert np.isfinite(np.asarray(out)).all()
+    assert _inner_err(out) <= abs(round(TRUE_D) - TRUE_D) + 1e-6
+
+
+def test_image_level_2d_wrapper(rng):
+    from libstevi_tpu.ops.image_refinement import \
+        refined_barycentric_symmetric_2d_disp
+    src_img, tgt_img = _flow_pair(rng, 0.3, 0.6)
+    out = refined_barycentric_symmetric_2d_disp(
+        MatchingFunction.ZNCC, jnp.asarray(tgt_img), jnp.asarray(src_img),
+        2, 2, SearchOffset2(-2, 2, -2, 2),
+        direction=DispDirection.RIGHT_TO_LEFT)
+    inner = np.asarray(out)[4:-4, 4:-4]
+    base_err = np.hypot(0.3, 0.6)
+    err = np.hypot(inner[..., 0] - 0.3, inner[..., 1] - 0.6).mean()
+    assert err < base_err
+
+
+def test_sliding_subwindow_idxs_reference_layout():
+    """3x3 window, 2x2 sub-windows: hand-checked index sets
+    (`unfold.h:203-246`)."""
+    from libstevi_tpu.ops.unfold import unfold_sliding_subwindow_idxs
+    out = unfold_sliding_subwindow_idxs(1, 1, 2, 2, 1)
+    assert out.shape == (4, 4)
+    np.testing.assert_array_equal(out[0], [0, 1, 3, 4])
+    np.testing.assert_array_equal(out[1], [1, 2, 4, 5])
+    np.testing.assert_array_equal(out[2], [3, 4, 6, 7])
+    np.testing.assert_array_equal(out[3], [4, 5, 7, 8])
