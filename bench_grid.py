@@ -28,13 +28,20 @@ def _timed(fn, args, n=10):
 
     l, r = args
     np.asarray(chained(l, r, 1).ravel()[0])
-    t0 = time.perf_counter()
-    np.asarray(chained(l, r, 1).ravel()[0])
-    t1 = time.perf_counter() - t0
-    t0 = time.perf_counter()
-    np.asarray(chained(l, r, 1 + n).ravel()[0])
-    tn = time.perf_counter() - t0
-    return (tn - t1) / n
+
+    def once():
+        t0 = time.perf_counter()
+        np.asarray(chained(l, r, 1).ravel()[0])
+        t1 = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        np.asarray(chained(l, r, 1 + n).ravel()[0])
+        return ((time.perf_counter() - t0) - t1) / n
+
+    # tunnel round-trip noise can exceed a sub-ms op: take the best of
+    # three positive measurements
+    vals = [once() for _ in range(3)]
+    pos = [v for v in vals if v > 1e-6]
+    return min(pos) if pos else max(max(vals), 1e-6)
 
 
 def main():

@@ -1,4 +1,7 @@
-from .convolutions import Filter, AxisType, PaddingType, convolve_2d
+from .convolutions import (Filter, FilterND, AxisType, PaddingType,
+                           PaddingInfos, MovingWindowAxis,
+                           AggregateWindowsAxis, BatchedInputAxis,
+                           BatchedOutputAxis, convolve_2d)
 from .filters import (gaussian_filter_taps, separated_gaussian_filter,
                       finite_differences_kernel, extend_linear_kernel,
                       gaussian_blur)
@@ -26,7 +29,9 @@ from .shape_from_shading import (
     integrate_normals)
 
 __all__ = [
-    "Filter", "AxisType", "PaddingType", "convolve_2d",
+    "Filter", "FilterND", "AxisType", "PaddingType", "PaddingInfos",
+    "MovingWindowAxis", "AggregateWindowsAxis", "BatchedInputAxis",
+    "BatchedOutputAxis", "convolve_2d",
     "gaussian_filter_taps", "separated_gaussian_filter",
     "finite_differences_kernel", "extend_linear_kernel", "gaussian_blur",
     "finite_difference",

@@ -642,7 +642,7 @@ def _chunked_rows_kernel(*refs, RC, Dp, H1, Wc, c0, ml, W_pout,
             c_v = jnp.where(ok, cur, 0.0)
             total = total + adj
         if with_diag:
-            hrow = hin_ref[rr].reshape(1, Dp)
+            hrow = hin_ref[0, rr].reshape(1, Dp)
             if shift_down:
                 shift = jnp.concatenate([hrow, c_d[:-1]], 0)
             else:
@@ -652,12 +652,12 @@ def _chunked_rows_kernel(*refs, RC, Dp, H1, Wc, c0, ml, W_pout,
             # the boundary column's post-row carry feeds the neighbour
             # chunk: THIS chunk's last real column when shifting down, its
             # first when shifting up (padded columns were zeroed by `ok`)
-            hout_ref[rr] = c_d[Wc - 1] if shift_down else c_d[0]
+            hout_ref[0, rr] = c_d[Wc - 1] if shift_down else c_d[0]
             # double-covered corner line (`sgm.h:329-355`), global coords
             cj = (corner_c0 + corner_slope * i) - c0
             total = total + adj * (1.0 + (cols == cj).astype(jnp.float32))
         else:
-            hout_ref[rr] = hin_ref[rr]
+            hout_ref[0, rr] = hin_ref[0, rr]
         out_ref[rr] = total
     dcarry_ref[:] = c_d
     if with_vertical:
@@ -670,15 +670,16 @@ def _chunked_pass(cv_chunk, acc, hist, *, H1, Wc, c0, ml, W_pout, P1,
     """One chunk invocation: returns (adj_chunk, hist_out)."""
     Hp, CWp, Dp = cv_chunk.shape
     n_chunks = Hp // rc
+    hist = hist.reshape(n_chunks, rc, Dp)
     if reverse:
         spec = pl.BlockSpec((rc, CWp, Dp), lambda h: (n_chunks - 1 - h, 0, 0),
                             memory_space=pltpu.VMEM)
-        hspec = pl.BlockSpec((rc, Dp), lambda h: (n_chunks - 1 - h, 0),
+        hspec = pl.BlockSpec((1, rc, Dp), lambda h: (n_chunks - 1 - h, 0, 0),
                              memory_space=pltpu.VMEM)
     else:
         spec = pl.BlockSpec((rc, CWp, Dp), lambda h: (h, 0, 0),
                             memory_space=pltpu.VMEM)
-        hspec = pl.BlockSpec((rc, Dp), lambda h: (h, 0),
+        hspec = pl.BlockSpec((1, rc, Dp), lambda h: (h, 0, 0),
                              memory_space=pltpu.VMEM)
     kernel = functools.partial(
         _chunked_rows_kernel, RC=rc, Dp=Dp, H1=H1, Wc=Wc, c0=c0,
@@ -695,11 +696,11 @@ def _chunked_pass(cv_chunk, acc, hist, *, H1, Wc, c0, ml, W_pout, P1,
         kernel, grid=(n_chunks,),
         in_specs=in_specs, out_specs=[spec, hspec],
         out_shape=[jax.ShapeDtypeStruct((Hp, CWp, Dp), jnp.float32),
-                   jax.ShapeDtypeStruct((Hp, Dp), jnp.float32)],
+                   jax.ShapeDtypeStruct((n_chunks, rc, Dp), jnp.float32)],
         scratch_shapes=scratch,
         input_output_aliases={1: 0} if acc is not None else {},
         interpret=interpret)(*args)
-    return out, hout
+    return out, hout.reshape(Hp, Dp)
 
 
 def sgm_chunked_adj(region: jnp.ndarray, ml: int, W_pout: int, P1: float,

@@ -386,15 +386,22 @@ def _rows_call(cv_p, acc, *, RC, N1, X1, ml, W_pout, P1, P2, Pout,
 def _pick_rc(Dp, Xp, n_carries, vmem_budget, n_streams=3, max_rc=8,
              itemsize=4):
     """Largest row-chunk whose double-buffered streams + carries fit with
-    ~1.5 MB of headroom for Mosaic stack temporaries.  Undersizing rc
-    wastes grid steps; oversizing collapses double-buffering (the fwd-T
-    acc pass measures 1.7 ms at rc=8/11.8 MB vs ~0.9 ms at rc=4)."""
+    headroom for Mosaic stack temporaries.  The stack holds the row
+    expression's live (Dp, Xp) intermediates (~11 tiles measured: an HD
+    D=320 bf16 up-pass ran 16.31 MB against the 16 MB scoped limit with
+    a constant 1.5 MB estimate), so the slack scales with the tile size.
+    Undersizing rc wastes grid steps; oversizing collapses
+    double-buffering (the fwd-T acc pass measures 1.7 ms at rc=8/11.8 MB
+    vs ~0.9 ms at rc=4)."""
     u = Dp * Xp * itemsize
     slack = 3 * (1 << 19)
+    scoped_limit = 15_900_000          # 16 MB scoped vmem minus margin
+    stack = 11 * u                     # live row-expression intermediates
     for rc in (8, 4, 2, 1):
         if rc > max_rc:
             continue
-        if n_carries * u + 2 * n_streams * rc * u + slack <= vmem_budget:
+        bufs = n_carries * u + 2 * n_streams * rc * u
+        if bufs + slack <= vmem_budget and bufs + stack <= scoped_limit:
             return rc
     return None
 

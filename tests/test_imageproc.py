@@ -221,3 +221,111 @@ class TestPacked422:
         img = rng.uniform(0, 255, (5, 8, 2)).astype(np.float32)
         got = np.asarray(yvyu_to_rgb(jnp.asarray(img)))
         np.testing.assert_allclose(got, self._oracle(img, False), rtol=1e-5)
+
+
+class TestFilterND:
+    """N-d axis-role convolution engine (`convolutions.h:32-560`)."""
+
+    @staticmethod
+    def _corr2(x, k):
+        from scipy.signal import correlate2d
+        return correlate2d(x, k, mode="valid")
+
+    def test_moving_moving_matches_scipy(self, rng):
+        from libstevi_tpu.imageproc import FilterND, MovingWindowAxis
+        x = rng.uniform(0, 1, (9, 11)).astype(np.float32)
+        k = rng.uniform(-1, 1, (3, 3)).astype(np.float32)
+        f = FilterND(k, MovingWindowAxis(), MovingWindowAxis())
+        got = np.asarray(f.convolve(jnp.asarray(x)))
+        np.testing.assert_allclose(got, self._corr2(x, k), rtol=1e-5,
+                                   atol=1e-5)
+        assert f.output_shape(x.shape) == got.shape
+
+    def test_aggregate_axis_contracts(self, rng):
+        from libstevi_tpu.imageproc import (FilterND, MovingWindowAxis,
+                                            AggregateWindowsAxis)
+        x = rng.uniform(0, 1, (8, 10, 3)).astype(np.float32)
+        k = rng.uniform(-1, 1, (3, 3, 3)).astype(np.float32)
+        f = FilterND(k, MovingWindowAxis(), MovingWindowAxis(),
+                     AggregateWindowsAxis())
+        got = np.asarray(f.convolve(jnp.asarray(x)))
+        want = sum(self._corr2(x[..., c], k[..., c]) for c in range(3))
+        np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+    def test_batched_input_is_depthwise(self, rng):
+        from libstevi_tpu.imageproc import (FilterND, MovingWindowAxis,
+                                            BatchedInputAxis)
+        x = rng.uniform(0, 1, (4, 8, 10)).astype(np.float32)
+        k = rng.uniform(-1, 1, (3, 3)).astype(np.float32)
+        f = FilterND(k, BatchedInputAxis(), MovingWindowAxis(),
+                     MovingWindowAxis())
+        got = np.asarray(f.convolve(jnp.asarray(x)))
+        for b in range(4):
+            np.testing.assert_allclose(got[b], self._corr2(x[b], k),
+                                       rtol=1e-5, atol=1e-5)
+
+    def test_batched_output_filter_bank(self, rng):
+        """The gradient-filter pattern of `shapeFromShading.h:78`:
+        (H, W) image, (3, 3, nDir) bank -> (H', W', nDir)."""
+        from libstevi_tpu.imageproc import (FilterND, MovingWindowAxis,
+                                            BatchedOutputAxis)
+        x = rng.uniform(0, 1, (8, 10)).astype(np.float32)
+        k = rng.uniform(-1, 1, (3, 3, 2)).astype(np.float32)
+        f = FilterND(k, MovingWindowAxis(), MovingWindowAxis(),
+                     BatchedOutputAxis())
+        got = np.asarray(f.convolve(jnp.asarray(x)))
+        assert got.shape == (6, 8, 2)
+        for o in range(2):
+            np.testing.assert_allclose(got[..., o],
+                                       self._corr2(x, k[..., o]),
+                                       rtol=1e-5, atol=1e-5)
+
+    def test_full_role_mix(self, rng):
+        """BatchedInput x Moving x Moving x Aggregate x BatchedOutput —
+        per-channel contraction + filter bank, batched (the
+        `edgesDetection.h:77` BIaxis+BOaxis pattern)."""
+        from libstevi_tpu.imageproc import (
+            FilterND, MovingWindowAxis, AggregateWindowsAxis,
+            BatchedInputAxis, BatchedOutputAxis)
+        x = rng.uniform(0, 1, (2, 7, 9, 3)).astype(np.float32)
+        k = rng.uniform(-1, 1, (3, 3, 3, 2)).astype(np.float32)
+        f = FilterND(k, BatchedInputAxis(), MovingWindowAxis(),
+                     MovingWindowAxis(), AggregateWindowsAxis(),
+                     BatchedOutputAxis())
+        got = np.asarray(f.convolve(jnp.asarray(x)))
+        assert got.shape == (2, 5, 7, 2)
+        for b in range(2):
+            for o in range(2):
+                want = sum(self._corr2(x[b, :, :, c], k[:, :, c, o])
+                           for c in range(3))
+                np.testing.assert_allclose(got[b, :, :, o], want,
+                                           rtol=1e-5, atol=1e-5)
+
+    def test_three_moving_axes_volumetric(self, rng):
+        from scipy.ndimage import correlate
+        from libstevi_tpu.imageproc import FilterND, MovingWindowAxis
+        x = rng.uniform(0, 1, (6, 7, 8)).astype(np.float32)
+        k = rng.uniform(-1, 1, (3, 3, 3)).astype(np.float32)
+        f = FilterND(k, MovingWindowAxis(), MovingWindowAxis(),
+                     MovingWindowAxis())
+        got = np.asarray(f.convolve(jnp.asarray(x)))
+        want = correlate(x, k, mode="constant")[1:-1, 1:-1, 1:-1]
+        np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+    def test_padding_and_stride(self, rng):
+        from libstevi_tpu.imageproc import (FilterND, MovingWindowAxis,
+                                            PaddingInfos, PaddingType)
+        x = rng.uniform(0, 1, (9, 9)).astype(np.float32)
+        k = rng.uniform(-1, 1, (3, 3)).astype(np.float32)
+        pad = PaddingInfos(1, mode=PaddingType.MIRROR)
+        f0 = FilterND(k, MovingWindowAxis(pad), MovingWindowAxis(pad))
+        full = np.asarray(f0.convolve(jnp.asarray(x)))
+        assert full.shape == (9, 9)           # same-size with pad 1
+        want = self._corr2(np.pad(x, 1, mode="reflect"), k)
+        np.testing.assert_allclose(full, want, rtol=1e-5, atol=1e-5)
+        # stride 1 = every second window position
+        f1 = FilterND(k, MovingWindowAxis(pad, stride=1),
+                      MovingWindowAxis(pad))
+        sub = np.asarray(f1.convolve(jnp.asarray(x)))
+        np.testing.assert_allclose(sub, full[::2], rtol=1e-5, atol=1e-5)
+        assert f1.output_shape((9, 9)) == sub.shape

@@ -114,3 +114,93 @@ class TestMaxFlow:
         res = max_flow_min_cut(3, edges, caps, 0, 2)
         assert res.max_flow == pytest.approx(1.0)
         assert res.cut_edges == [(1, 2)]
+
+
+class TestDCEL:
+    """Planar-subdivision DCEL (`graphs/doublyConnectedEdgeLists.h`):
+    incremental face construction over shared edges, with exterior
+    boundary maintenance."""
+
+    def test_two_triangles_share_an_edge(self):
+        from libstevi_tpu.graphs.dcel import DoublyConnectedEdgeList
+        d = DoublyConnectedEdgeList.with_vertices(4)
+        f0 = d.make_face([0, 1, 2])
+        assert f0 == 0
+        assert d.n_edges == 6                      # 3 pairs
+        # second triangle reuses the (2, 1) exterior twin of (1, 2)
+        f1 = d.make_face([2, 1, 3])
+        assert f1 == 1
+        assert d.n_edges == 10                     # only 2 new pairs
+        assert d.face_vertices(0) == [0, 1, 2] or \
+            d.face_vertices(0) == [1, 2, 0] or d.face_vertices(0) == [2, 0, 1]
+        vs1 = d.face_vertices(1)
+        assert sorted(vs1) == [1, 2, 3] and len(vs1) == 3
+        # shared edge: (1,2) belongs to f0, (2,1) to f1
+        e12 = d.edge_between_vertices(1, 2)
+        e21 = d.edge_between_vertices(2, 1)
+        assert d.edges[e12].face == 0
+        assert d.edges[e21].face == 1
+        assert d.edges[e12].twin == e21
+
+    def test_exterior_boundary_is_closed(self):
+        from libstevi_tpu.graphs.dcel import DoublyConnectedEdgeList
+        d = DoublyConnectedEdgeList.with_vertices(4)
+        d.make_face([0, 1, 2])
+        d.make_face([2, 1, 3])
+        ext = d.exterior_cycle()
+        # quad exterior: 4 boundary half-edges 0-2-3-1 (reversed winding)
+        assert len(ext) == 4
+        assert all(d.edges[e].face < 0 for e in ext)
+        vs = [d.edges[e].vertex1 for e in ext]
+        assert sorted(vs) == [0, 1, 2, 3]
+        # prev/next are mutually consistent
+        for e in ext:
+            assert d.edges[d.edges[e].next].previous == e
+
+    def test_rejects_face_over_owned_edge(self):
+        from libstevi_tpu.graphs.dcel import DoublyConnectedEdgeList
+        d = DoublyConnectedEdgeList.with_vertices(4)
+        assert d.make_face([0, 1, 2]) == 0
+        # (0, 1) already belongs to face 0
+        assert d.make_face([0, 1, 3]) == -1
+        assert d.n_faces == 1
+
+    def test_quad_strip_full_tiling(self):
+        """A 2x2 quad grid: 4 faces, interior edges shared, exterior = 8."""
+        from libstevi_tpu.graphs.dcel import DoublyConnectedEdgeList
+        d = DoublyConnectedEdgeList.with_vertices(9)
+
+        def vid(r, c):
+            return 3 * r + c
+        for r in range(2):
+            for c in range(2):
+                fid = d.make_face([vid(r, c), vid(r, c + 1),
+                                   vid(r + 1, c + 1), vid(r + 1, c)])
+                assert fid == 2 * r + c
+        assert d.n_faces == 4
+        # 12 undirected edges = 24 half-edges
+        assert d.n_edges == 24
+        ext = d.exterior_cycle()
+        assert len(ext) == 8
+        # every interior half-edge pair spans two different faces
+        for e in range(d.n_edges):
+            t = d.edges[e].twin
+            if d.edges[e].face >= 0 and d.edges[t].face >= 0:
+                assert d.edges[e].face != d.edges[t].face
+
+    def test_vertex_local_queries(self):
+        from libstevi_tpu.graphs.dcel import DoublyConnectedEdgeList
+        d = DoublyConnectedEdgeList.with_vertices(4)
+        d.make_face([0, 1, 2])
+        # vertex 0 has an exterior edge leaving it
+        e = d.external_edge_leaving_from(0)
+        assert e is not None and d.edges[e].face < 0
+        ent, leav = d.exterior_edge_for_vertex(0)
+        assert d.edges[ent].vertex2 == 0 and d.edges[leav].vertex1 == 0
+        assert d.edge_between_vertices(0, 3) is None
+
+    def test_face_size_constraint(self):
+        from libstevi_tpu.graphs.dcel import DoublyConnectedEdgeList
+        d = DoublyConnectedEdgeList.with_vertices(4, face_size=3)
+        assert d.make_face([0, 1, 2, 3]) == -1
+        assert d.make_face([0, 1, 2]) == 0
