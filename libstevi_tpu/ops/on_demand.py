@@ -85,8 +85,61 @@ class CachelessOnDemandStereoCostVolume:
 
 
 class OnDemandStereoCostVolume(CachelessOnDemandStereoCostVolume):
-    """Cached variant (`on_demand_cost_volume.h:330`): on TPU the 'cache' is
-    simply the fully materialized volume, built on first full access."""
+    """Memoizing variant (`GenericOnDemandCostVolume`,
+    `on_demand_cost_volume.h:37,105-181`): the reference lazily fills a
+    dense volume one (pos, disp) scalar at a time behind a computed
+    mask, so memory and compute grow with what was actually queried.
+    The TPU memoization unit is a DISPARITY PLANE: the first access to a
+    disparity d evaluates and caches its (H, W) cost plane (one fused
+    device call); later accesses gather from the cache.  Querying k
+    distinct disparities costs k planes of memory and compute — the
+    reference's proportional-to-queries semantics at SPMD granularity —
+    instead of the full (H, W, D) volume."""
+
+    def __init__(self, func, source_fv, target_fv, search: SearchOffset1):
+        super().__init__(func, source_fv, target_fv, search)
+        self._planes: dict[int, jnp.ndarray] = {}
+
+    @property
+    def n_computed_planes(self) -> int:
+        return len(self._planes)
+
+    def _plane(self, d: int) -> jnp.ndarray:
+        d = int(d)
+        if d not in self._planes:
+            H, W = self.source.shape[:2]
+            self._planes[d] = self.cost_field(
+                jnp.full((H, W), jnp.int32(d)))
+        return self._planes[d]
+
+    def cost_value(self, pos, disp):
+        """Scalar access (`costValue`, :105): None outside the search
+        range or image, else the memoized cost."""
+        i, j = pos
+        d = disp[0] if isinstance(disp, (tuple, list)) else int(disp)
+        W = self.source.shape[1]
+        if not (self.search.lower <= d <= self.search.upper):
+            return None
+        if not (0 <= j + d < W):
+            return None
+        return self._plane(d)[i, j]
+
+    def cost_field(self, disp: jnp.ndarray, memoize: bool = False
+                   ) -> jnp.ndarray:
+        """(H, W) candidate-field query.  With ``memoize`` the distinct
+        disparities in the field are evaluated as cached planes and the
+        result gathered from them (touched planes stay warm for later
+        queries); without it the field is evaluated directly."""
+        if not memoize:
+            return super().cost_field(disp)
+        import numpy as np
+        dn = np.asarray(disp)
+        bad = -jnp.inf if self.traits.strategy.name == "SCORE" else jnp.inf
+        out = jnp.full(dn.shape, bad, jnp.float32)
+        for d in np.unique(dn):
+            p = self._plane(int(d))
+            out = jnp.where(jnp.asarray(dn == d), p, out)
+        return out
 
     def full_volume(self) -> jnp.ndarray:
         from .cost_volume import aggregate_cost

@@ -715,14 +715,16 @@ def sgm_chunked_adj(region: jnp.ndarray, ml: int, W_pout: int, P1: float,
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     Dp = _round_up(D, 128)
-    # chunk width: biggest multiple of 8 whose pass fits VMEM
-    # (2 carries + 3x2 blocks at rc + ~4 stack temps, all CW*Dp*4)
+    # chunk width: biggest multiple of 8 whose pass fits the 16 MB scoped
+    # vmem: 3 double-buffered rc=2 streams (12 units) + 2 carries + ~11
+    # Mosaic stack temporaries, all CW*Dp*4 (an HD D=320 run with the
+    # previous 12-unit estimate allocated 19.06 M against the 16 M limit)
     if cw_target is None:
-        cw_target = max(8, (vmem_budget // (12 * Dp * 4)) // 8 * 8)
+        cw_target = max(8, (15_900_000 // (25 * Dp * 4)) // 8 * 8)
     CW = min(_round_up(W1, 8), _round_up(cw_target, 8))
     Wp = _round_up(W1, CW)
     n_w = Wp // CW
-    RC = 2 if 14 * CW * Dp * 4 <= vmem_budget + 3 * 2 ** 20 else 1
+    RC = 2 if 25 * CW * Dp * 4 <= 15_900_000 else 1
     RT = min(128, _round_up(H1, 8))
     Hp = _round_up(_round_up(H1, RT), RC)
 

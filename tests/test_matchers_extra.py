@@ -44,15 +44,72 @@ class TestDpStereo:
 
 class TestFastmatch:
     def test_matches_wta_on_smooth_scene(self, rng):
+        """The on-demand fastmatch (no dense CV built) agrees with the
+        dense WTA on a smooth scene."""
+        from libstevi_tpu.ops.unfold import unfold
+        from libstevi_tpu.ops.cost_volume import normalize_feature_volume
+        from libstevi_tpu.core.search import SearchOffset1
         img_l, img_r = _pair(rng, d=5)
-        cv = unfold_based_cost_volume(MatchingFunction.ZSSD,
-                                      jnp.asarray(img_l), jnp.asarray(img_r),
-                                      2, 2, 10)
-        fm = np.asarray(fastmatch(MatchingFunction.ZSSD, cv))
+        func = MatchingFunction.ZSSD
+        # RIGHT_TO_LEFT geometry: source = right, target = left
+        fs = normalize_feature_volume(func, unfold(2, 2, jnp.asarray(img_r)))
+        ft = normalize_feature_volume(func, unfold(2, 2, jnp.asarray(img_l)))
+        fm = np.asarray(fastmatch(func, fs, ft, SearchOffset1(0, 9)))
+        cv = unfold_based_cost_volume(func, jnp.asarray(img_l),
+                                      jnp.asarray(img_r), 2, 2, 10)
         wta = np.asarray(extract_selected_index(cv, ExtractionStrategy.COST))
         inner = slice(4, -4), slice(8, -10)
         agree = (fm[inner] == wta[inner]).mean()
         assert agree > 0.9
+
+    def test_matches_reference_scan_oracle(self, rng):
+        """Bit-exact vs a python replica of the reference's hot loop
+        (`fast_approximate_matching.h:146-237`): full search at row
+        start, 3 candidates with strictly-better order (0, -1, +1),
+        re-search on two consecutive jumps, previous_jumped seeded
+        True."""
+        from libstevi_tpu.ops.unfold import unfold
+        from libstevi_tpu.ops.cost_volume import normalize_feature_volume
+        from libstevi_tpu.core.search import SearchOffset1
+        img_l, img_r = _pair(rng, d=3)
+        func = MatchingFunction.ZSSD
+        fs = normalize_feature_volume(func, unfold(1, 1, jnp.asarray(img_r)))
+        ft = normalize_feature_volume(func, unfold(1, 1, jnp.asarray(img_l)))
+        lo, hi = 0, 6
+        got = np.asarray(fastmatch(func, fs, ft, SearchOffset1(lo, hi)))
+
+        s = np.asarray(fs)
+        t = np.asarray(ft)
+        H, W, F = s.shape
+
+        def cost(i, j, d):
+            tj = j + d
+            if not (lo <= d <= hi) or not (0 <= tj < W):
+                return np.inf
+            return float(((s[i, j] - t[i, tj]) ** 2).sum())
+
+        def full(i, j):
+            cs = [cost(i, j, d) for d in range(lo, hi + 1)]
+            return lo + int(np.argmin(cs))
+
+        want = np.zeros((H, W), np.int64)
+        for i in range(H):
+            want[i, 0] = full(i, 0)
+            prev_jumped = True
+            for j in range(1, W):
+                dp = want[i, j - 1]
+                cur, cc = dp, cost(i, j, dp)
+                for delta in (-1, 1):
+                    c = cost(i, j, dp + delta)
+                    if c < cc:
+                        cur, cc = dp + delta, c
+                jumped = cur != dp
+                if jumped and prev_jumped:
+                    want[i, j] = full(i, j)
+                else:
+                    want[i, j] = cur
+                prev_jumped = jumped
+        np.testing.assert_array_equal(got, want)
 
 
 class TestGuidedFiltering:

@@ -146,3 +146,40 @@ class TestPosesMath:
         r2 = jnp.asarray([0.0, 0.0, 0.3])
         w = np.asarray(compute_rotation_speed(r1, r2, 0.5))
         np.testing.assert_allclose(w, [0, 0, 0.4], atol=1e-5)
+
+
+class TestOnDemandMemoization:
+    def test_plane_granular_memoization(self, rng):
+        """`GenericOnDemandCostVolume` semantics
+        (`on_demand_cost_volume.h:105-181`): compute and memory grow with
+        the queried disparities, not the full volume; repeated access
+        reuses the cache."""
+        from libstevi_tpu.ops.on_demand import OnDemandStereoCostVolume
+        img = rng.uniform(0, 1, (10, 16)).astype(np.float32)
+        func = MatchingFunction.SSD
+        f = normalize_feature_volume(func, unfold(1, 1, jnp.asarray(img)))
+        od = OnDemandStereoCostVolume(func, f, f, SearchOffset1(0, 7))
+        assert od.n_computed_planes == 0
+        v = od.cost_value((3, 4), 2)
+        assert od.n_computed_planes == 1
+        assert abs(float(v) - float(od.cost_value((5, 5), 2))) >= 0
+        assert od.n_computed_planes == 1          # same plane reused
+        # out-of-range queries return None without computing anything
+        assert od.cost_value((0, 0), 9) is None
+        assert od.cost_value((0, 15), 3) is None
+        assert od.n_computed_planes == 1
+        # self-match at d=0: zero cost
+        assert abs(float(od.cost_value((4, 4), 0))) < 1e-6
+        assert od.n_computed_planes == 2
+
+    def test_memoized_field_matches_direct(self, rng):
+        from libstevi_tpu.ops.on_demand import OnDemandStereoCostVolume
+        img = rng.uniform(0, 1, (8, 12)).astype(np.float32)
+        func = MatchingFunction.ZNCC
+        f = normalize_feature_volume(func, unfold(1, 1, jnp.asarray(img)))
+        od = OnDemandStereoCostVolume(func, f, f, SearchOffset1(0, 5))
+        disp = jnp.asarray(rng.integers(0, 6, (8, 12)), jnp.int32)
+        direct = np.asarray(od.cost_field(disp))
+        memo = np.asarray(od.cost_field(disp, memoize=True))
+        np.testing.assert_allclose(memo, direct, rtol=1e-5, atol=1e-6)
+        assert od.n_computed_planes == len(np.unique(np.asarray(disp)))
