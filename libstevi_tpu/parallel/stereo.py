@@ -134,8 +134,9 @@ def distributed_dense_stereo_step(mesh: Mesh, func: MatchingFunction,
         return jax.vmap(pair_fn)(imgs_l, imgs_r)
 
     spec = P("batch", "tile", None)
-    return jax.jit(shard_map(local_fn, mesh=mesh, in_specs=(spec, spec),
-                             out_specs=spec))
+    inner = jax.jit(shard_map(local_fn, mesh=mesh, in_specs=(spec, spec),
+                              out_specs=spec))
+    return _pad_to_mesh(inner, mesh.shape["batch"], mesh.shape["tile"])
 
 
 def distributed_full_step(mesh: Mesh, func: MatchingFunction, h_radius: int,
@@ -150,19 +151,21 @@ def distributed_full_step(mesh: Mesh, func: MatchingFunction, h_radius: int,
         cost volume (tensor-parallel analogue), re-assembled with an
         `all_gather` along ``dsh`` before SGM.
 
-    Input (B, H, W) pairs; output (B, H, W) disparity maps.
+    Input (B, H, W) pairs; output (B, H, W) disparity maps.  Works for
+    every matching family (the D-shard pre-shift reproduces the
+    out-of-range convention per function, see below); B, H and D need
+    not divide their mesh axes (see `_pad_to_mesh` / the ceil-division
+    D-shard slicing).
     """
     from ..core.search import SearchOffset1
     traits = MATCH_TRAITS[func]
     strategy = traits.strategy
-    if not (traits.kernel == "dot"):
-        raise NotImplementedError(
-            "distributed_full_step D-sharding covers the dot family "
-            "(CC/NCC/ZCC/ZNCC); use distributed_dense_stereo_step otherwise")
     sign = DispDirection.RIGHT_TO_LEFT.delta_sign
     n_dsh = mesh.shape["dsh"]
-    assert disp_width % n_dsh == 0, "disp_width must divide the dsh axis"
-    d_loc = disp_width // n_dsh
+    # D need not divide dsh: shards compute ceil(D / n_dsh) disparities
+    # each and the surplus is sliced off after the all_gather
+    d_loc = -(-disp_width // n_dsh)
+    d_total = d_loc * n_dsh
 
     def pair_fn(img_l, img_r):   # (H_loc, W) shards
         halo = 2 * v_radius
@@ -179,12 +182,14 @@ def distributed_full_step(mesh: Mesh, func: MatchingFunction, h_radius: int,
         # [d0 - h_radius, d0)) or the box sums near column 0 see zeros —
         # so both images are widened by h_radius on the left (zeros for the
         # source == its out-of-image fill) and the extra columns cropped
-        # after aggregation.  The explicit mask below reproduces the
-        # reference's all-zero-target-vector convention for j + d >= W
-        # (dot family => 0).
+        # after aggregation.  The mask below reproduces `aggregateCost`'s
+        # all-zero-target-VECTOR convention for j + d >= W for every
+        # matching family: cost(src, 0) — 0 for the dot family, |src|^2
+        # for SSD, popcount(src) for census... (the widened target's zero
+        # WINDOWS would normalize to NaN instead).
         ctx = h_radius
         src_w = jnp.pad(r_ext, ((0, 0), (ctx, 0)))
-        l_buf = jnp.pad(l_ext, ((0, 0), (ctx, disp_width)))
+        l_buf = jnp.pad(l_ext, ((0, 0), (ctx, d_total)))
         tgt_w = jax.lax.dynamic_slice_in_dim(
             l_buf, d0, l_ext.shape[1] + ctx, axis=1)
         cv_loc = unfold_based_cost_volume(func, tgt_w, src_w, h_radius,
@@ -193,12 +198,22 @@ def distributed_full_step(mesh: Mesh, func: MatchingFunction, h_radius: int,
         cv_loc = cv_loc[:, ctx:, :]
         H_loc = img_l.shape[0]
         cv_loc = jax.lax.dynamic_slice_in_dim(cv_loc, halo, H_loc, axis=0)
+        from ..ops.unfold import unfold
+        from ..ops.cost_volume import normalize_feature_volume
+        from ..ops.matching import feature_comparison
+        src_fv = normalize_feature_volume(
+            func, unfold(h_radius, v_radius, r_ext))
+        src_fv = jax.lax.dynamic_slice_in_dim(src_fv, halo, H_loc, axis=0)
+        oob = feature_comparison(func, src_fv, jnp.zeros_like(src_fv))
         jj = jnp.arange(W, dtype=jnp.int32)[None, :, None]
         dd = jnp.arange(d_loc, dtype=jnp.int32)[None, None, :]
-        cv_loc = jnp.where(jj + d0 + dd >= W, 0.0, cv_loc)
-        # reassemble the full D axis (all_gather along dsh, ICI all-to-one)
+        cv_loc = jnp.where(jj + d0 + dd >= W,
+                           oob[..., None].astype(cv_loc.dtype), cv_loc)
+        # reassemble the full D axis (all_gather along dsh, ICI
+        # all-to-one), dropping the ceil-division surplus disparities
         cv = jnp.moveaxis(jax.lax.all_gather(cv_loc, "dsh"), 0, 2)
-        cv = cv.reshape(cv.shape[0], cv.shape[1], disp_width)
+        cv = cv.reshape(cv.shape[0], cv.shape[1], d_total)
+        cv = cv[..., :disp_width]
         if n_directions >= 8:
             # fused Pallas kernels per shard with vertical + diagonal
             # carry relay (sgm_dist.distributed_sgm_fused)
@@ -222,5 +237,27 @@ def distributed_full_step(mesh: Mesh, func: MatchingFunction, h_radius: int,
     # the per-shard result is replicated over dsh (every member holds the
     # full disparity map after the all_gather) — the vma checker cannot
     # infer that replication statically
-    return jax.jit(shard_map(local_fn, mesh=mesh, in_specs=(spec, spec),
-                             out_specs=spec, check_vma=False))
+    inner = jax.jit(shard_map(local_fn, mesh=mesh, in_specs=(spec, spec),
+                              out_specs=spec, check_vma=False))
+    return _pad_to_mesh(inner, mesh.shape["batch"], mesh.shape["tile"])
+
+
+def _pad_to_mesh(inner, n_batch: int, n_tile: int):
+    """Lift the B % batch-axis and H % tile-axis divisibility requirements
+    by zero-padding before the shard_map and slicing after.  Padded batch
+    entries are dropped exactly; padded image rows participate in the SGM
+    vertical DP, so for non-divisible H the result equals the single-chip
+    pipeline run on the bottom-zero-padded image (the difference to the
+    unpadded image decays away from the seam; bit-exact when H divides)."""
+
+    def run(imgs_l, imgs_r):
+        B, H, _ = imgs_l.shape
+        bp = (-B) % n_batch
+        hp = (-H) % n_tile
+        if bp or hp:
+            pad = ((0, bp), (0, hp), (0, 0))
+            out = inner(jnp.pad(imgs_l, pad), jnp.pad(imgs_r, pad))
+            return out[:B, :H]
+        return inner(imgs_l, imgs_r)
+
+    return jax.jit(run)

@@ -153,3 +153,55 @@ def test_distributed_full_step_8dir_matches_single_chip(rng):
         np.testing.assert_allclose(got[b], want, atol=1.0)
         exact = (got[b] == want).mean()
         assert exact > 0.99, exact
+
+
+@pytest.mark.parametrize("func", [MatchingFunction.ZSSD,
+                                  MatchingFunction.SAD,
+                                  MatchingFunction.CENSUS])
+def test_distributed_full_step_non_dot_families(rng, func):
+    """The D-sharded pre-shift must reproduce each family's out-of-range
+    convention (cost(src, 0-vector)), not just the dot family's zero."""
+    mesh = make_stereo_mesh(MeshSpec(batch=1, tile=2, dsh=2),
+                            jax.devices()[:4])
+    B = 1
+    ls = jnp.asarray(rng.uniform(0.1, 1, (B, H, W)).astype(np.float32))
+    rs = jnp.asarray(rng.uniform(0.1, 1, (B, H, W)).astype(np.float32))
+    step = distributed_full_step(mesh, func, 1, 1, D, P1=0.1, P2=0.5,
+                                 n_directions=4)
+    got = np.asarray(step(ls, rs))
+    strategy = MATCH_TRAITS[func].strategy
+    for b in range(B):
+        cv = unfold_based_cost_volume(func, ls[b], rs[b], 1, 1, D)
+        sgm = sgm_cost_volume(cv, 0.1, 0.5, n_directions=4,
+                              strategy=strategy, backend="xla")
+        want = np.asarray(extract_selected_index(sgm, strategy))
+        exact = (got[b] == want).mean()
+        assert exact > 0.99, (func, exact)
+
+
+def test_distributed_full_step_non_divisible_shapes(rng):
+    """B, H and D need not divide the mesh axes: padding + ceil-division
+    D-sharding handle the remainders; parity is checked against the
+    single-chip pipeline on the bottom-zero-padded image."""
+    mesh = make_stereo_mesh(MeshSpec(batch=2, tile=2, dsh=2),
+                            jax.devices()[:8])
+    B, H2, D2 = 3, 30, 7                       # none divisible
+    ls = jnp.asarray(rng.uniform(0.1, 1, (B, H2, W)).astype(np.float32))
+    rs = jnp.asarray(rng.uniform(0.1, 1, (B, H2, W)).astype(np.float32))
+    step = distributed_full_step(mesh, MatchingFunction.ZNCC, 1, 1, D2,
+                                 P1=0.1, P2=0.5, n_directions=4)
+    got = np.asarray(step(ls, rs))
+    assert got.shape == (B, H2, W)
+    hp = (-H2) % 2
+    for b in range(B):
+        lp = jnp.pad(ls[b], ((0, hp), (0, 0)))
+        rp = jnp.pad(rs[b], ((0, hp), (0, 0)))
+        cv = unfold_based_cost_volume(MatchingFunction.ZNCC, lp, rp,
+                                      1, 1, D2, backend="box")
+        sgm = sgm_cost_volume(cv, 0.1, 0.5, n_directions=4,
+                              strategy=ExtractionStrategy.SCORE,
+                              backend="xla")
+        want = np.asarray(extract_selected_index(
+            sgm, ExtractionStrategy.SCORE))[:H2]
+        exact = (got[b] == want).mean()
+        assert exact > 0.99, exact
