@@ -1,0 +1,222 @@
+"""Fused Pallas kernel for the box-decomposed ZNCC/NCC/CC cost volume.
+
+The scan-based box backend (`box_backend.py`) is exact but materializes
+every per-disparity intermediate (product map, two separable box passes,
+statistics slices) to HBM — ~12 MB of traffic per disparity, ~1.4 ms at
+480x640 D=120.  This kernel keeps the source image, the padded target
+and the precomputed window statistics resident in VMEM and writes ONLY
+the cost volume: per grid step it computes a (disparity-chunk, row-band)
+tile with
+
+    cross_d = box(src * tgt_d)        (same-sign shift-add trees)
+    cost    = (cross_d - sum_s sum_t_d / n) / (sigma_s sigma_t_d)
+
+entirely in registers.  Row bands read a halo of ``v_radius`` rows from
+the resident (8-row-padded) inputs via aligned dynamic slices; the
+output is (D, Hp, Wp) — block (DC, Hb, Wp), trailing dims multiples of
+(8, 128) — and the caller moves the axis for the (H, D, W) SGM layout
+(an outer-dim move, minor dim preserved).
+
+Parity: bit-comparable to `box_backend.box_cost_volume` up to float
+reassociation (the window sums use a different add tree).  Reference:
+`correlation/cross_correlations.h:195-311` semantics via the box
+identities documented in `box_backend.py`.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..core.types import MatchingFunction
+
+_PADROWS = 8                       # aligned halo reservoir above/below
+
+
+def _one_sided_tree(x, r, sh):
+    """Sum_{t=1..r} sh^t(x) as a same-sign shift-add tree.  Same-sign
+    trees are EXACT under zero fill (each stage's clipped taps are taps
+    beyond the array, which are zero anyway); mixing directions or
+    recentering a one-sided running sum is not."""
+    if r <= 0:
+        return jnp.zeros_like(x)
+    acc = sh(x, 1)
+    width = 1
+    while width * 2 <= r:
+        acc = acc + sh(acc, width)
+        width *= 2
+    rem = r - width
+    if rem:
+        acc = acc + sh(_one_sided_tree(x, rem, sh), width)
+    return acc
+
+
+def _window_sum_lanes(x, radius):
+    """Sum over lane offsets [-radius, radius] with zero fill."""
+    zero = jnp.zeros_like(x)
+
+    def sh_p(v, k):
+        return jnp.concatenate([v[:, k:], zero[:, :k]], axis=1)
+
+    def sh_n(v, k):
+        return jnp.concatenate([zero[:, :k], v[:, :-k]], axis=1)
+
+    return (x + _one_sided_tree(x, radius, sh_p)
+            + _one_sided_tree(x, radius, sh_n))
+
+
+def _window_sum_sublanes(x, radius):
+    zero = jnp.zeros_like(x)
+
+    def sh_p(v, k):
+        return jnp.concatenate([v[k:], zero[:k]], axis=0)
+
+    def sh_n(v, k):
+        return jnp.concatenate([zero[:k], v[:-k]], axis=0)
+
+    return (x + _one_sided_tree(x, radius, sh_p)
+            + _one_sided_tree(x, radius, sh_n))
+
+
+def _kernel(src_ref, tgtp_ref, stats_ref, out_ref, scr_ref, *, DC, Hb,
+            Wp, Wpp, h_radius, v_radius, n, kind, cv_dtype, W1):
+    hb = pl.program_id(0)
+    d_idx = pl.program_id(1)           # innermost: d chunks in order
+    d0 = d_idx * DC
+    Hx = Hb + 2 * _PADROWS
+    r0 = hb * Hb                       # aligned band start in padded rows
+
+    # Mosaic supports dynamic SUBLANE slices but not dynamic LANE slices:
+    # the target stack rides in a scratch that is loaded at the band's
+    # first d-chunk and shifted left by a STATIC DC lanes per chunk, so
+    # every per-disparity slice below is static.
+    @pl.when(d_idx == 0)
+    def _():
+        scr_ref[...] = tgtp_ref[:, pl.ds(r0, Hx), :]
+
+    src = src_ref[pl.ds(r0, Hx), :]
+    sum_s = stats_ref[0, pl.ds(r0, Hx), :]
+    den_s = stats_ref[1, pl.ds(r0, Hx), :]   # sigma_s (Z*) or |s| (NCC)
+    tgt_b = scr_ref[...]
+
+    jj = jax.lax.broadcasted_iota(jnp.int32, (Hb, Wp), 1)
+    c = slice(_PADROWS, _PADROWS + Hb)
+    for k in range(DC):
+        t_d = jax.lax.slice_in_dim(tgt_b[0], k, k + Wp, axis=1)
+        cross = _window_sum_sublanes(
+            _window_sum_lanes(src * t_d, h_radius), v_radius)[c]
+        if kind == "cc":
+            cost = cross
+        elif kind == "ncc":
+            den_t = jax.lax.slice_in_dim(tgt_b[2], k, k + Wp, axis=1)[c]
+            cost = cross / (den_s[c] * den_t)
+        else:                          # zcc / zncc
+            sum_t = jax.lax.slice_in_dim(tgt_b[1], k, k + Wp, axis=1)[c]
+            zcc = cross - sum_s[c] * sum_t * (1.0 / n)
+            if kind == "zcc":
+                cost = zcc
+            else:
+                den_t = jax.lax.slice_in_dim(tgt_b[2], k,
+                                             k + Wp, axis=1)[c]
+                cost = zcc / (den_s[c] * den_t)
+        in_range = jj + (d0 + k) < W1
+        out_ref[k] = jnp.where(in_range, cost, 0.0).astype(cv_dtype)
+    # advance the scratch to the next chunk's base disparity
+    zfill = jnp.zeros((3, Hx, DC), tgt_b.dtype)
+    scr_ref[...] = jnp.concatenate([tgt_b[:, :, DC:], zfill], axis=2)
+
+
+def box_cost_volume_fused(func: MatchingFunction, img_l, img_r,
+                          h_radius: int, v_radius: int, disp_width: int,
+                          cv_dtype=jnp.float32,
+                          interpret: bool | None = None):
+    """Fused (H, D, W) cost volume for the dot family (CC/NCC/ZCC/ZNCC),
+    RIGHT_TO_LEFT, zero margins, gray images.  Returns None when the
+    configuration is out of scope or cannot fit VMEM (caller falls back
+    to the scan backend)."""
+    kind = {MatchingFunction.CC: "cc", MatchingFunction.NCC: "ncc",
+            MatchingFunction.ZCC: "zcc",
+            MatchingFunction.ZNCC: "zncc"}.get(func)
+    if kind is None or img_l.ndim != 2 or v_radius > _PADROWS:
+        return None
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    H, W = img_l.shape
+    src = img_r.astype(jnp.float32)       # RIGHT_TO_LEFT: source = right
+    tgt = img_l.astype(jnp.float32)
+    n = float((2 * h_radius + 1) * (2 * v_radius + 1))
+
+    DC = 8
+    D = disp_width
+    Dp = -(-D // DC) * DC
+    Hp = -(-H // 8) * 8
+    Wp = -(-W // 128) * 128
+    Wpp = Wp + Dp + DC
+
+    # pick the largest row band whose residents + out blocks + live band
+    # temporaries fit the 16 MB scoped VMEM
+    isz = 4
+    osz = jnp.dtype(cv_dtype).itemsize
+    Hb = None
+    for cand in (Hp, 240, 120, 96, 48, 24):
+        if cand > Hp or cand % 8 or Hp % cand:
+            continue
+        hx = cand + 2 * _PADROWS
+        resident = ((Hp + 2 * _PADROWS) * (4 * Wp + 3 * Wpp)) * isz
+        scratch = 3 * hx * Wpp * isz
+        temps = 8 * hx * Wp * isz
+        out_c = 2 * DC * cand * Wp * osz
+        if resident + scratch + temps + out_c <= 15_000_000:
+            Hb = cand
+            break
+    if Hb is None:
+        return None
+
+    from .filters import box_filter_2d
+
+    def box(x):
+        return box_filter_2d(x, h_radius, v_radius)
+
+    pr = _PADROWS
+    srcp = jnp.pad(src, ((0, Hp - H), (0, Wp - W)))
+    tgtp = jnp.pad(tgt, ((0, Hp - H), (0, Wpp - W)))
+
+    sum_s = box(srcp)
+    sum_s2 = box(srcp * srcp)
+    den_s = jnp.sqrt(sum_s2) if kind == "ncc" \
+        else jnp.sqrt(sum_s2 - sum_s * sum_s / n)
+    sum_t = box(tgtp)
+    sum_t2 = box(tgtp * tgtp)
+    den_t = jnp.sqrt(sum_t2) if kind == "ncc" \
+        else jnp.sqrt(sum_t2 - sum_t * sum_t / n)
+
+    rowpad = ((pr, pr), (0, 0))
+    srcp = jnp.pad(srcp, rowpad)
+    stats_s = jnp.pad(jnp.stack([sum_s, den_s]), ((0, 0),) + rowpad)
+    tgt_stack = jnp.pad(jnp.stack([tgtp, sum_t, den_t]),
+                        ((0, 0),) + rowpad)
+
+    kern = functools.partial(
+        _kernel, DC=DC, Hb=Hb, Wp=Wp, Wpp=Wpp, h_radius=h_radius,
+        v_radius=v_radius, n=n, kind=kind, cv_dtype=cv_dtype, W1=W)
+    Hpp = Hp + 2 * pr
+    Hx = Hb + 2 * pr
+    out = pl.pallas_call(
+        kern, grid=(Hp // Hb, Dp // DC),
+        in_specs=[pl.BlockSpec((Hpp, Wp), lambda h, d: (0, 0),
+                               memory_space=pltpu.VMEM),
+                  pl.BlockSpec((3, Hpp, Wpp), lambda h, d: (0, 0, 0),
+                               memory_space=pltpu.VMEM),
+                  pl.BlockSpec((2, Hpp, Wp), lambda h, d: (0, 0, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((DC, Hb, Wp), lambda h, d: (d, h, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((Dp, Hp, Wp), cv_dtype),
+        scratch_shapes=[pltpu.VMEM((3, Hx, Wpp), jnp.float32)],
+        interpret=interpret)(srcp, tgt_stack, stats_s)
+    # (D, H, W) -> (H, D, W): outer-dim move, minor dim preserved
+    return jnp.moveaxis(out[:D, :H, :W], 0, 1)

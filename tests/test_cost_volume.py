@@ -267,3 +267,26 @@ def test_fused_fv_backend_matches_scan(rng, func, direction):
     got = aggregate_cost(func, nl, nr, search, direction, backend="fused")
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=1e-5, atol=1e-5)
+
+
+class TestBoxPallasFused:
+    """Fused single-kernel box CV (`ops/box_pallas.py`) == the scan-based
+    box backend for the dot family (interpret mode; the kernel is not yet
+    wired into dispatch pending on-chip validation)."""
+
+    @pytest.mark.parametrize("func", [MatchingFunction.ZNCC,
+                                      MatchingFunction.NCC,
+                                      MatchingFunction.CC,
+                                      MatchingFunction.ZCC])
+    def test_matches_box_backend(self, rng, func):
+        from libstevi_tpu.ops.box_backend import box_cost_volume
+        from libstevi_tpu.ops.box_pallas import box_cost_volume_fused
+        for (H2, W2, D2, r) in ((24, 40, 10, 3), (48, 40, 7, 2)):
+            l = jnp.asarray(rng.uniform(0.1, 1, (H2, W2)).astype(np.float32))
+            rr = jnp.asarray(rng.uniform(0.1, 1, (H2, W2)).astype(np.float32))
+            want = np.asarray(box_cost_volume(func, l, rr, r, r, D2,
+                                              layout="dhw"))
+            got = box_cost_volume_fused(func, l, rr, r, r, D2,
+                                        interpret=True)
+            np.testing.assert_allclose(np.asarray(got), want,
+                                       rtol=1e-4, atol=1e-5)
