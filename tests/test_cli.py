@@ -134,3 +134,121 @@ class TestCheckerboardCli:
         assert rc == 0
         rep = _capture(capsys)
         assert rep["found"] and rep["n_points"] >= 35
+
+
+class TestNormalMapCli:
+    def test_dome_normals_and_height(self, tmp_path, capsys):
+        import normal_map_estimation
+        from libstevi_tpu.io import write_stevimg
+        H = W = 40
+        ii, jj = np.mgrid[0:H, 0:W].astype(np.float64)
+        R = H * 1.2
+        z = np.sqrt(np.maximum(R * R - (ii - H / 2) ** 2 - (jj - W / 2) ** 2,
+                               1e-6))
+        n = np.stack([(jj - W / 2) / R, (ii - H / 2) / R, z / R], -1)
+        l = np.asarray([0.3, 0.1, 0.95])
+        l /= np.linalg.norm(l)
+        img = np.clip(n @ l / l[2], 0, 1).astype(np.float32)
+        p = str(tmp_path / "dome.stevimg")
+        write_stevimg(p, img)
+        rc = normal_map_estimation.main([
+            p, "-o", str(tmp_path / "n.stevimg"),
+            "--height", str(tmp_path / "h.stevimg"),
+            "--light", str(l[0]), str(l[1]), str(l[2]), "--n-iter", "10"])
+        assert rc in (0, None)
+        rep = _capture(capsys)
+        assert rep["mean_up"] > 0.6
+        assert (tmp_path / "n.stevimg").exists()
+        assert (tmp_path / "h.stevimg").exists()
+
+
+class TestIntrinsicCli:
+    def test_rgb_decomposition(self, tmp_path, capsys, rng):
+        import intrinsic_decomposition
+        from libstevi_tpu.io import write_stevimg
+        refl = np.kron(rng.uniform(0.3, 1.0, (3, 3, 3)),
+                       np.ones((8, 8, 1)))[:20, :20]
+        sh = np.linspace(0.4, 1.0, 20, dtype=np.float32)[None, :, None]
+        p = str(tmp_path / "img.stevimg")
+        write_stevimg(p, (refl * sh).astype(np.float32))
+        rc = intrinsic_decomposition.main([
+            p, "--reflectance", str(tmp_path / "r.stevimg"),
+            "--shading", str(tmp_path / "s.stevimg")])
+        assert rc in (0, None)
+        rep = _capture(capsys)
+        assert rep["shading_shape"][:2] == [20, 20]
+        assert (tmp_path / "r.stevimg").exists()
+
+
+class TestOpticalFlowRefineCli:
+    def test_subpixel_flow_recovered(self, tmp_path, capsys, rng):
+        import optical_flow_refine
+        from libstevi_tpu.io import write_stevimg, write_flo
+        from scipy.ndimage import map_coordinates
+        H = W = 32
+        base = rng.uniform(0.1, 1, (H + 4, W + 4)).astype(np.float32)
+        k = np.ones(3) / 3
+        base = np.apply_along_axis(
+            lambda r: np.convolve(r, k, "same"), 1, base)
+        tgt = base[:H, :W]
+        ys, xs = np.mgrid[0:H, 0:W]
+        di, dj = 0.3, 0.6
+        src = map_coordinates(base, [ys + di, xs + dj],
+                              order=1).astype(np.float32)
+        p0, p1 = str(tmp_path / "i0.stevimg"), str(tmp_path / "i1.stevimg")
+        write_stevimg(p0, src)
+        write_stevimg(p1, tgt)
+        gt = np.zeros((H, W, 2), np.float32)
+        gt[..., 0], gt[..., 1] = dj, di          # .flo is (u=dx, v=dy)
+        pg = str(tmp_path / "gt.flo")
+        write_flo(pg, gt)
+        rc = optical_flow_refine.main([p0, p1, "-r", "2", "-s", "2",
+                                       "--gt", pg,
+                                       "-o", str(tmp_path / "out.flo")])
+        assert rc in (0, None)
+        rep = _capture(capsys)
+        assert rep["epe_mean"] < 0.45            # refined below integer WTA
+        assert rep["prop_inlier"] > 0.95
+
+
+class TestStereoRefineCli:
+    def test_methods_report(self, tmp_path, capsys):
+        import stereo_refine
+        rc = stereo_refine.main([
+            os.path.join(DATA, "left_small.stevimg"),
+            os.path.join(DATA, "right_small.stevimg"),
+            "-d", "32", "-r", "2",
+            "--gt", os.path.join(DATA, "gt_small.stevimg"),
+            "-o", str(tmp_path / "ref.stevimg")])
+        assert rc in (0, None)
+        rep = _capture(capsys)
+        # raw WTA (no SGM) leaves outliers on this pair; like the
+        # reference's refine test (:145) judge sub-pixel quality on the
+        # inlier set
+        for m in ("barycentric", "barycentric-symmetric", "cost-symmetric"):
+            assert rep[m]["prop_good_1.0"] > 0.45, (m, rep[m])
+            assert rep[m]["inlier_mae"] < 0.2, (m, rep[m])
+        assert (tmp_path / "ref.stevimg").exists()
+
+
+class TestSplitPtCloudCli:
+    def test_tiles_with_context(self, tmp_path, capsys, rng):
+        import split_pt_cloud
+        from libstevi_tpu.io.pointcloud_io import (PointCloud, save_point_cloud,
+                                                   open_point_cloud)
+        pos = rng.uniform(0, 100, (400, 3))
+        cloud = PointCloud(pos, {"intensity": rng.uniform(
+            0, 1, 400).astype(np.float32)})
+        p = str(tmp_path / "cloud.las")
+        save_point_cloud(p, cloud)
+        rc = split_pt_cloud.main([p, "-o", str(tmp_path / "tile"),
+                                  "-n", "2", "2", "-c", "10"])
+        assert rc in (0, None)
+        rep = _capture(capsys)
+        assert len(rep["tiles"]) == 4
+        n_own = sum(t["n_own"] for t in rep["tiles"])
+        assert n_own == 400                      # own points partition
+        t0 = open_point_cloud(rep["tiles"][0]["path"])
+        assert t0.n_points == (rep["tiles"][0]["n_own"]
+                               + rep["tiles"][0]["n_context"])
+        assert "is_context" in t0.attributes
