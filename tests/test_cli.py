@@ -256,3 +256,47 @@ class TestSplitPtCloudCli:
         assert t0.n_points == (rep["tiles"][0]["n_own"]
                                + rep["tiles"][0]["n_context"])
         assert "is_context" in t0.attributes
+
+
+class TestViewerCli:
+    def test_stats_and_render(self, tmp_path, capsys, rng):
+        import stevimg_viewer
+        from libstevi_tpu.io import write_stevimg, read_image
+        img = rng.uniform(0, 2, (16, 20)).astype(np.float32)
+        p = str(tmp_path / "a.stevimg")
+        write_stevimg(p, img)
+        rc = stevimg_viewer.main([p, "-o", str(tmp_path / "v.stevimg"),
+                                  "--colormap", "gray"])
+        assert rc in (0, None)
+        rep = _capture(capsys)
+        assert rep["shape"] == [16, 20]
+        assert abs(rep["max"] - img.max()) < 1e-5
+        view = np.asarray(read_image(str(tmp_path / "v.stevimg")))
+        assert view.shape == (16, 20, 3)
+
+
+class TestDetrendCli:
+    def test_removes_terrain_trend(self, tmp_path, capsys, rng):
+        import detrend_terrain
+        from libstevi_tpu.io.pointcloud_io import (PointCloud,
+                                                   save_point_cloud,
+                                                   open_point_cloud)
+        n = 600
+        xy = rng.uniform(0, 50, (n, 2))
+        ground = 0.5 * xy[:, 0] + 0.2 * xy[:, 1]          # sloped terrain
+        height = rng.uniform(0, 3, n) * (rng.random(n) < 0.3)
+        pos = np.column_stack([xy, ground + height])
+        p = str(tmp_path / "c.las")
+        save_point_cloud(p, PointCloud(pos, {}))
+        out = str(tmp_path / "flat.las")
+        rc = detrend_terrain.main([p, "-o", out, "--tile", "5",
+                                   "--smooth", "0"])
+        assert rc in (0, None)
+        rep = _capture(capsys)
+        flat = open_point_cloud(out)
+        z = flat.positions[:, 2]
+        # the 25-unit slope is gone: heights sit near zero (tile
+        # quantization of the slope remains within a tile's z span)
+        assert z.max() < 8.0
+        assert np.median(np.abs(z)) < 3.0
+        assert rep["n_points"] == n
