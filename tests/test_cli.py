@@ -300,3 +300,25 @@ class TestDetrendCli:
         assert z.max() < 8.0
         assert np.median(np.abs(z)) < 3.0
         assert rep["n_points"] == n
+
+
+class TestRayAlignmentEvalCli:
+    def test_solvers_recover_transform(self, capsys):
+        import ray_alignment_eval
+        rc = ray_alignment_eval.main(["-n", "4", "--rays", "50",
+                                      "--noise", "0.001"])
+        assert rc in (0, None)
+        rep = _capture(capsys)
+        assert rep["gauss-newton"]["rot_deg_median"] < 1.0
+        assert rep["relaxed"]["rot_deg_median"] < 2.0
+
+    def test_robust_survives_outliers(self, capsys):
+        import ray_alignment_eval
+        rc = ray_alignment_eval.main(["-n", "3", "--rays", "60",
+                                      "--outliers", "0.2",
+                                      "--solvers", "robust", "relaxed"])
+        assert rc in (0, None)
+        rep = _capture(capsys)
+        # RANSAC shrugs off the scrambled 20%; the linear relaxation
+        # degrades
+        assert rep["robust"]["rot_deg_median"] < 2.0
