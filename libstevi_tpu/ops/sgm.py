@@ -445,6 +445,10 @@ def sgm_wta_truncated(cv: jnp.ndarray, P1: float, P2: float,
         cv_dhw = cv if layout == "dhw" else jnp.moveaxis(cv, -1, 1)
         if cv_dhw.dtype != jnp.bfloat16:   # bf16 volumes stay bf16 (packed
             cv_dhw = cv_dhw.astype(jnp.float32)   # VPU fast path)
+        elif n_directions >= 16:
+            # measured: the knight masks break packed-pair bf16 operation
+            # (7.0 ms vs 5.7 ms f32 at 480x640 D=120) — prefer f32
+            cv_dhw = cv_dhw.astype(jnp.float32)
         res = sgm_fused_wta_dhw(sign * cv_dhw, 0, W,
                                 float(P1), float(P2), float(Pout),
                                 n_directions, wta_radius=r)
