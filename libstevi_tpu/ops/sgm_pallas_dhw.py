@@ -527,3 +527,110 @@ def _run_dhw(region, ml, W_pout, P1, P2, Pout, diag, vmem_budget,
     idx = outs[0][:W1, :H1].T
     bands = jnp.stack([b[:W1, :H1].T for b in outs[1:]], axis=-1)
     return idx, bands
+
+
+# ---------------------------------------------------------------------------
+# Row-sharded (distributed) shard passes
+# ---------------------------------------------------------------------------
+
+def pad_shard_volume_dhw(region: jnp.ndarray):
+    """Pad one shard's (H_loc, W, D) block to the DHW kernel layout
+    (H, D, W with +inf d-pad, zero row/lane pad).  Returns the padded
+    volume and its (Hp, Dp, Wp) dims."""
+    H1, W1, D = region.shape
+    dt = region.dtype if region.dtype in (jnp.bfloat16, jnp.float32) \
+        else jnp.float32
+    sub = 8 if jnp.dtype(dt).itemsize == 4 else 16
+    Dp = _round_up(D, sub)
+    Wp = _round_up(W1, 128)
+    Hp = _round_up(H1, 8)
+    cv = jnp.moveaxis(region.astype(dt), -1, 1)
+    cv = jnp.pad(cv, ((0, 0), (0, Dp - D), (0, 0)),
+                 constant_values=jnp.inf)
+    return jnp.pad(cv, ((0, Hp - H1), (0, 0), (0, Wp - W1)))
+
+
+def sgm_rows_shard_pass_dhw(cv_p: jnp.ndarray, acc, carries, i0, *,
+                            H1: int, W1: int, H_img: int, ml: int,
+                            W_pout: int, P1: float, P2: float,
+                            Pout: float, reverse: bool, diag: bool,
+                            vmem_budget: int = 12 * 1024 * 1024,
+                            interpret: bool = False):
+    """One shard's down (or up) DHW pass with carry injection
+    (`_dhw_rows_kernel` with_carries mode): ``carries`` is 1 (vertical)
+    or 3 (vertical + both diagonal families) relayed (Dp, Wp) arrays,
+    ``i0`` the shard's global first row, ``H_img`` the global height for
+    the double-covered corner masks.  Returns (adj_or_acc, carries_out).
+    The carry passes through padded shard rows untouched so the relay
+    hand-off is exact."""
+    Hp, Dp, Wp = cv_p.shape
+    isz = jnp.dtype(cv_p.dtype).itemsize
+    n_car = 3 if diag else 1
+    rc = _pick_rc(Dp, Wp, 3 * n_car, vmem_budget,
+                  n_streams=3 if acc is not None else 2, itemsize=isz)
+    if rc is None:
+        raise ValueError("shard volume too wide for the fused DHW pass")
+    n_chunks = Hp // rc if Hp % rc == 0 else -(-Hp // rc)
+    Hp_pad = n_chunks * rc
+    if Hp_pad != Hp:
+        cv_p = jnp.pad(cv_p, ((0, Hp_pad - Hp), (0, 0), (0, 0)))
+        if acc is not None:
+            acc = jnp.pad(acc, ((0, Hp_pad - Hp), (0, 0), (0, 0)))
+
+    if reverse:
+        spec = pl.BlockSpec((rc, Dp, Wp), lambda h: (n_chunks - 1 - h, 0, 0),
+                            memory_space=pltpu.VMEM)
+    else:
+        spec = pl.BlockSpec((rc, Dp, Wp), lambda h: (h, 0, 0),
+                            memory_space=pltpu.VMEM)
+    car_spec = pl.BlockSpec((Dp, Wp), lambda h: (0, 0),
+                            memory_space=pltpu.VMEM)
+    smem = pl.BlockSpec((1, 1), lambda h: (0, 0),
+                        memory_space=pltpu.SMEM)
+    kernel = functools.partial(
+        _dhw_rows_kernel, RC=rc, Dp=Dp, Xp=Wp, Np=Hp_pad, N1=H1, X1=W1,
+        ml=ml, W_pout=W_pout, P1=float(P1), P2=float(P2),
+        Pout=float(Pout), reverse=reverse, diag=diag,
+        accumulate=acc is not None, transposed=False, with_carries=True,
+        H_corner=H_img)
+    in_specs = [spec] + ([spec] if acc is not None else []) \
+        + [smem] + [car_spec] * n_car
+    args = ((cv_p,) + ((acc,) if acc is not None else ())
+            + (jnp.asarray(i0, jnp.int32).reshape(1, 1),) + tuple(carries))
+    outs = pl.pallas_call(
+        kernel, grid=(n_chunks,), in_specs=in_specs,
+        out_specs=[spec] + [car_spec] * n_car,
+        out_shape=([jax.ShapeDtypeStruct((Hp_pad, Dp, Wp), cv_p.dtype)]
+                   + [jax.ShapeDtypeStruct((Dp, Wp), cv_p.dtype)] * n_car),
+        scratch_shapes=[pltpu.VMEM((Dp, Wp), cv_p.dtype)] * n_car,
+        interpret=interpret)(*args)
+    return outs[0][:Hp], tuple(outs[1:])
+
+
+def sgm_cols_shard_pass_dhw(cv_p: jnp.ndarray, acc, *, H1: int, W1: int,
+                            ml: int, W_pout: int, P1: float, P2: float,
+                            Pout: float, reverse: bool,
+                            wta_radius: int | None = None,
+                            vmem_budget: int = 12 * 1024 * 1024,
+                            interpret: bool = False):
+    """One shard's horizontal pass (the scan axis W is not sharded, so
+    this is fully local): transpose to (W, D, H_loc) and run the
+    transposed DHW pass, accumulating onto ``acc``."""
+    Hp, Dp, Wp = cv_p.shape
+    Hp_lanes = _round_up(Hp, 128)
+
+    def to_T(x):
+        xt = jnp.transpose(x, (2, 1, 0))
+        return jnp.pad(xt, ((0, 0), (0, 0), (0, Hp_lanes - Hp)))
+
+    isz = jnp.dtype(cv_p.dtype).itemsize
+    rc = _pick_rc(Dp, Hp_lanes, 1, vmem_budget, n_streams=3, itemsize=isz)
+    if rc is None:
+        raise ValueError("shard volume too tall for the fused DHW pass")
+    cv_T = to_T(cv_p)
+    acc_T = to_T(acc)
+    adj_T = _rows_call(cv_T, acc_T, RC=rc, N1=W1, X1=H1, ml=ml,
+                       W_pout=W_pout, P1=P1, P2=P2, Pout=Pout,
+                       reverse=reverse, diag=False, transposed=True,
+                       H_corner=H1, interpret=interpret)
+    return jnp.transpose(adj_T[:, :, :Hp], (2, 1, 0))

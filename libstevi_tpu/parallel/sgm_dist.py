@@ -179,3 +179,69 @@ def distributed_sgm_fused(cv_local: jnp.ndarray, P1: float, P2: float,
                               P1=P1, P2=P2, Pout=Pout, reverse=True,
                               interpret=interpret)
     return cv_local + adj[:H1, :W1, :D]
+
+
+def distributed_sgm_fused_dhw(cv_local: jnp.ndarray, P1: float, P2: float,
+                              Pout: float = 100.0, axis_name: str = "tile",
+                              n_directions: int = 8,
+                              interpret: bool | None = None) -> jnp.ndarray:
+    """`distributed_sgm_fused` on the DHW-layout kernels
+    (`sgm_pallas_dhw`, disparity on sublanes — 2.2x the per-step rate of
+    the lane-layout shard kernels): the vertical + diagonal carries relay
+    shard-to-shard as (Dp, Wp) tiles, horizontals run locally through the
+    transposed passes.  Exact vs the single-chip
+    `sgm_cost_volume(..., n_directions=8)` with zero margins.  Call
+    inside `shard_map` with equal row blocks."""
+    from ..ops.sgm_pallas_dhw import (pad_shard_volume_dhw,
+                                      sgm_rows_shard_pass_dhw,
+                                      sgm_cols_shard_pass_dhw)
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    cv_local = cv_local.astype(jnp.float32)
+    H1, W1, D = cv_local.shape
+    diag = n_directions >= 8
+    n = jax.lax.axis_size(axis_name)
+    me = jax.lax.axis_index(axis_name)
+    H_img = H1 * n
+    i0 = me * H1
+    cv_p = pad_shard_volume_dhw(cv_local)
+    Hp, Dp, Wp = cv_p.shape
+    n_car = 3 if diag else 1
+
+    def relay(acc, reverse):
+        my_turn = (n - 1 - me) if reverse else me
+        perm = ([(i, i - 1) for i in range(1, n)] if reverse
+                else [(i, i + 1) for i in range(n - 1)])
+
+        def step(state, s):
+            carries, acc = state
+
+            def run(ops):
+                carries, acc = ops
+                out, couts = sgm_rows_shard_pass_dhw(
+                    cv_p, acc, carries, i0, H1=H1, W1=W1, H_img=H_img,
+                    ml=0, W_pout=W1, P1=P1, P2=P2, Pout=Pout,
+                    reverse=reverse, diag=diag, interpret=interpret)
+                return tuple(couts), out
+
+            carries, acc = jax.lax.cond(s == my_turn, run,
+                                        lambda ops: ops, (carries, acc))
+            carries = tuple(jax.lax.ppermute(c, axis_name, perm)
+                            for c in carries)
+            return (carries, acc), None
+
+        zc = tuple(jnp.zeros((Dp, Wp), cv_p.dtype) for _ in range(n_car))
+        (_, acc), _ = jax.lax.scan(step, (zc, acc),
+                                   jnp.arange(n, dtype=jnp.int32))
+        return acc
+
+    adj = jnp.zeros_like(cv_p)
+    adj = relay(adj, reverse=False)
+    adj = relay(adj, reverse=True)
+    adj = sgm_cols_shard_pass_dhw(cv_p, adj, H1=H1, W1=W1, ml=0,
+                                  W_pout=W1, P1=P1, P2=P2, Pout=Pout,
+                                  reverse=False, interpret=interpret)
+    adj = sgm_cols_shard_pass_dhw(cv_p, adj, H1=H1, W1=W1, ml=0,
+                                  W_pout=W1, P1=P1, P2=P2, Pout=Pout,
+                                  reverse=True, interpret=interpret)
+    return cv_local + jnp.moveaxis(adj[:H1, :D, :W1], 1, -1)

@@ -115,12 +115,12 @@ def distributed_dense_stereo_step(mesh: Mesh, func: MatchingFunction,
         cv = _local_cv_with_halo(func, img_l, img_r, h_radius, v_radius,
                                  disp_width, "tile")
         if n_directions >= 8:
-            # fused Pallas kernels per shard with vertical + diagonal
-            # carry relay (sgm_dist.distributed_sgm_fused)
-            from .sgm_dist import distributed_sgm_fused
-            run = lambda c: distributed_sgm_fused(c, P1, P2,
-                                                  axis_name="tile",
-                                                  n_directions=8)
+            # fused DHW Pallas kernels per shard with vertical + diagonal
+            # carry relay (sgm_dist.distributed_sgm_fused_dhw)
+            from .sgm_dist import distributed_sgm_fused_dhw
+            run = lambda c: distributed_sgm_fused_dhw(c, P1, P2,
+                                                      axis_name="tile",
+                                                      n_directions=8)
         else:
             run = lambda c: distributed_sgm(c, P1, P2, axis_name="tile")
         if strategy is ExtractionStrategy.SCORE:
@@ -215,12 +215,12 @@ def distributed_full_step(mesh: Mesh, func: MatchingFunction, h_radius: int,
         cv = cv.reshape(cv.shape[0], cv.shape[1], d_total)
         cv = cv[..., :disp_width]
         if n_directions >= 8:
-            # fused Pallas kernels per shard with vertical + diagonal
-            # carry relay (sgm_dist.distributed_sgm_fused)
-            from .sgm_dist import distributed_sgm_fused
-            run = lambda c: distributed_sgm_fused(c, P1, P2,
-                                                  axis_name="tile",
-                                                  n_directions=8)
+            # fused DHW Pallas kernels per shard with vertical + diagonal
+            # carry relay (sgm_dist.distributed_sgm_fused_dhw)
+            from .sgm_dist import distributed_sgm_fused_dhw
+            run = lambda c: distributed_sgm_fused_dhw(c, P1, P2,
+                                                      axis_name="tile",
+                                                      n_directions=8)
         else:
             run = lambda c: distributed_sgm(c, P1, P2, axis_name="tile")
         if strategy is ExtractionStrategy.SCORE:

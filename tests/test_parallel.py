@@ -205,3 +205,27 @@ def test_distributed_full_step_non_divisible_shapes(rng):
             sgm, ExtractionStrategy.SCORE))[:H2]
         exact = (got[b] == want).mean()
         assert exact > 0.99, exact
+
+
+def test_distributed_fused_sgm_dhw_matches_single_chip(rng):
+    """The DHW-layout distributed SGM (disparity-on-sublanes shard
+    kernels with (Dp, Wp) carry relay) == single-chip `sgm_cost_volume`,
+    incl. shard heights forcing padded kernel rows (pass-through)."""
+    import jax
+    from jax.sharding import PartitionSpec as P
+    from libstevi_tpu.ops.sgm import sgm_cost_volume
+    from libstevi_tpu.parallel.sgm_dist import distributed_sgm_fused_dhw
+
+    mesh4 = make_stereo_mesh(MeshSpec(tile=4), jax.devices()[:4])
+    for H2, W2, D2, nd in [(32, 20, 7, 8), (36, 13, 5, 8), (36, 13, 5, 4)]:
+        cv = jnp.asarray(rng.uniform(0, 4, (H2, W2, D2)).astype(np.float32))
+        want = np.asarray(sgm_cost_volume(cv, 0.3, 1.1, Pout=7.0,
+                                          n_directions=nd, backend="xla"))
+        f = jax.shard_map(
+            lambda c: distributed_sgm_fused_dhw(c, 0.3, 1.1, 7.0,
+                                                n_directions=nd,
+                                                interpret=True),
+            mesh=mesh4, in_specs=P("tile"), out_specs=P("tile"),
+            check_vma=False)
+        got = np.asarray(jax.jit(f)(cv))
+        np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
