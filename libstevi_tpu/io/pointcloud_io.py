@@ -224,6 +224,80 @@ class InMemoryStream:
             yield self.read_chunk(start, size)
 
 
+def map_point_cloud_attributes(cloud: PointCloud, mapping: dict,
+                               only_keep: bool = False) -> PointCloud:
+    """`mapPointCloudAttributes` (`attributeMapper.h:181-213`,
+    `examples/io_map/main.cpp:29`): rename attributes AND position
+    components — the mapping's keys/values live in one namespace where
+    ``x``/``y``/``z`` denote the geometry axes, so ``{"x": "y", "y":
+    "x"}`` swaps the first two coordinate columns and ``{"z": "newZ"}``
+    turns the height into a plain attribute (the vacated geometry axis
+    reads as 0, like the reference's empty-optional fallback).
+    ``only_keep`` drops attributes whose name is not a mapping key
+    (geometry columns always resolve, by mapped name)."""
+    pos = np.asarray(cloud.positions, np.float64)
+    names = {"x": pos[:, 0], "y": pos[:, 1], "z": pos[:, 2]}
+    names.update(cloud.attributes)
+    out = {}
+    for k, v in names.items():
+        if only_keep and k not in mapping and k not in ("x", "y", "z"):
+            continue
+        out.setdefault(mapping.get(k, k), v)
+    zeros = np.zeros(cloud.n_points)
+    new_pos = np.stack([np.asarray(out.pop(ax, zeros), np.float64)
+                        for ax in ("x", "y", "z")], -1)
+    return PointCloud(new_pos, out)
+
+
+class AttributeMapperStream:
+    """Chunk-streaming attribute mapper (`attributeMapper.h:39-114`,
+    `PointCloudPointAttributeMapper`): wraps any point-cloud stream and
+    applies `map_point_cloud_attributes` semantics per chunk, so a
+    larger-than-RAM LAS can be re-labelled without materializing it."""
+
+    def __init__(self, stream, mapping: dict, only_keep: bool = False):
+        self._s = stream
+        self._mapping = dict(mapping)
+        self._only_keep = only_keep
+
+    @property
+    def n_points(self) -> int:
+        return self._s.n_points
+
+    @property
+    def attributes(self) -> list:
+        m, keep = self._mapping, self._only_keep
+        src = list(getattr(self._s, "attributes"))
+        out, seen = [], set()
+        for k in src:
+            if keep and k not in m:
+                continue
+            nk = m.get(k, k)
+            if nk not in seen and nk not in ("x", "y", "z"):
+                seen.add(nk)
+                out.append(nk)
+        for ax in ("x", "y", "z"):          # geometry mapped INTO attrs
+            nk = m.get(ax, ax)
+            if nk not in ("x", "y", "z") and nk not in seen:
+                seen.add(nk)
+                out.append(nk)
+        return out
+
+    def read_chunk(self, start: int, count: int) -> dict:
+        ch = self._s.read_chunk(start, count)
+        xyz = ch.pop("xyz")
+        cloud = PointCloud(xyz, ch)
+        mapped = map_point_cloud_attributes(cloud, self._mapping,
+                                            self._only_keep)
+        out = {"xyz": mapped.positions}
+        out.update(mapped.attributes)
+        return out
+
+    def chunks(self, size: int = 1 << 20):
+        for start in range(0, self.n_points, size):
+            yield self.read_chunk(start, size)
+
+
 def open_point_cloud_stream(path: str):
     """Format-sniffing *streaming* reader: LAS streams natively from disk
     (clouds larger than RAM iterate in bounded memory); other codecs load

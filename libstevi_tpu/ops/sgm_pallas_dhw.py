@@ -83,17 +83,23 @@ def _knight_row(c_k, base, pa, t, t_par, lanes, X1, P1, P2, upd, dt, zcol):
     edge — each drift step lets one more side line enter at lane 0), and
     the doubly-enumerated corner seed (u == t//2) counts twice.  ``t_par``
     is the CONCRETE parity of ``t`` (the traced value only feeds masks).
-    Returns (new carries, summed adj contribution)."""
+    Returns (new carries, summed adj contribution).
+
+    ``upd`` receives the PRE-shift carry as ``prev`` so that relay
+    pass-through rows (``with_carries`` mode) keep the carry exactly at
+    the last real row's post-step state — the next real row (possibly on
+    the next shard) re-derives the shift from its own global parity."""
     extra = None
     new = []
     for kk, c in enumerate(c_k):
         plus = kk < 2                    # drift toward higher lanes
         phase_b = kk % 2 == 1
+        c_pre = c
         if (t_par == 1) if phase_b else (t_par == 0):
             c = (jnp.concatenate([zcol, c[:, :-1]], 1) if plus
                  else jnp.concatenate([c[:, 1:], zcol], 1))
         cur, adj = _dw_step(c, base, pa, P1, P2)
-        new.append(upd(c, cur))
+        new.append(upd(c_pre, cur))
         u = lanes if plus else (X1 - 1 - lanes)
         if phase_b:
             w = (u <= (t - 1) // 2).astype(dt)
@@ -105,7 +111,7 @@ def _knight_row(c_k, base, pa, t, t_par, lanes, X1, P1, P2, upd, dt, zcol):
 
 def _dhw_rows_kernel(*refs, RC, Dp, Xp, Np, N1, X1, ml, W_pout, P1, P2,
                      Pout, reverse, diag, accumulate, transposed,
-                     with_carries, H_corner, knight=False):
+                     with_carries, H_corner, knight=False, N_glob=None):
     """One streaming pass over scan rows of a (N, Dp, Xp) volume.
 
     Normal orientation (``transposed=False``): scan rows are image rows,
@@ -121,11 +127,17 @@ def _dhw_rows_kernel(*refs, RC, Dp, Xp, Np, N1, X1, ml, W_pout, P1, P2,
     ``with_carries`` runs the pass as one shard of a row-distributed
     image: initial carries come from relayed inputs, final carries are
     emitted, and an i0 scalar gives the shard's global scan-row offset
-    for Pout/corner masks (``H_corner`` = global image height)."""
-    if knight and with_carries:
-        raise NotImplementedError("knight directions have no relay yet")
+    for Pout/corner masks (``H_corner`` = global image height).
+
+    ``N_glob`` is the global scan extent (defaults to ``N1``): in
+    ``with_carries`` mode the knight drift parity and the transposed
+    Pout gate key on the GLOBAL scan index ``i0 + i``.  Knight relay
+    exactness requires the caller to keep ``i0`` even (even shard scan
+    extents) so the drift parity stays concrete at trace time."""
     if knight and RC % 2:
         raise ValueError("knight passes need an even row chunk")
+    if N_glob is None:
+        N_glob = N1
     n_carries = (3 if diag else 1) + (4 if knight else 0)
     if with_carries:
         if accumulate:
@@ -161,6 +173,8 @@ def _dhw_rows_kernel(*refs, RC, Dp, Xp, Np, N1, X1, ml, W_pout, P1, P2,
 
     dt = cv_ref.dtype
 
+    n_principal = 3 if diag else 1
+
     @pl.when(h == 0)
     def _():
         if with_carries:
@@ -168,6 +182,8 @@ def _dhw_rows_kernel(*refs, RC, Dp, Xp, Np, N1, X1, ml, W_pout, P1, P2,
             if diag:
                 cp_carry[:] = cins[1][:]
                 cn_carry[:] = cins[2][:]
+            for kk, kc in enumerate(k_carries):
+                kc[:] = cins[n_principal + kk][:]
         else:
             cv_carry[:] = jnp.zeros((Dp, Xp), dt)
             if diag:
@@ -208,7 +224,7 @@ def _dhw_rows_kernel(*refs, RC, Dp, Xp, Np, N1, X1, ml, W_pout, P1, P2,
         row_ok = i < N1
 
         if transposed:
-            pa = jnp.where((ml + ig + dd_col >= W_pout) & (ig < N1),
+            pa = jnp.where((ml + ig + dd_col >= W_pout) & (ig < N_glob),
                            Pout, 0.0).astype(dt)
         else:
             pa = pout_add
@@ -250,10 +266,11 @@ def _dhw_rows_kernel(*refs, RC, Dp, Xp, Np, N1, X1, ml, W_pout, P1, P2,
             cj = (X1 - 1 - ig) if not reverse else (H_corner - 1 - ig)
             total = total + adj * (1.0 + (lanes == cj).astype(dt))
         if knight:
-            # step index from the pass start edge; parity is concrete
-            # because RC is even (b * RC cannot flip it)
-            t = i if not reverse else (N1 - 1 - i)
-            t_par = (rr % 2) if not reverse else ((N1 - 1 - rr) % 2)
+            # GLOBAL step index from the pass start edge; parity is
+            # concrete because RC is even (b * RC cannot flip it) and,
+            # in with_carries mode, the caller keeps i0 even
+            t = ig if not reverse else (N_glob - 1 - ig)
+            t_par = (rr % 2) if not reverse else ((N_glob - 1 - rr) % 2)
             c_k, extra = _knight_row(c_k, base, pa, t, t_par, lanes, X1,
                                      P1, P2, upd, dt, zcol)
             total = total + extra
@@ -271,6 +288,8 @@ def _dhw_rows_kernel(*refs, RC, Dp, Xp, Np, N1, X1, ml, W_pout, P1, P2,
             if diag:
                 couts[1][:] = c_p
                 couts[2][:] = c_n
+            for kk in range(len(c_k)):
+                couts[n_principal + kk][:] = c_k[kk]
 
 
 def _dhw_wta_kernel(*refs, RC, Dp, Xp, N1, X1, D, ml, W_pout, P1, P2,
@@ -554,20 +573,33 @@ def sgm_rows_shard_pass_dhw(cv_p: jnp.ndarray, acc, carries, i0, *,
                             H1: int, W1: int, H_img: int, ml: int,
                             W_pout: int, P1: float, P2: float,
                             Pout: float, reverse: bool, diag: bool,
+                            knight: bool = False, transposed: bool = False,
+                            N_glob: int | None = None,
                             vmem_budget: int = 12 * 1024 * 1024,
                             interpret: bool = False):
     """One shard's down (or up) DHW pass with carry injection
     (`_dhw_rows_kernel` with_carries mode): ``carries`` is 1 (vertical)
     or 3 (vertical + both diagonal families) relayed (Dp, Wp) arrays,
-    ``i0`` the shard's global first row, ``H_img`` the global height for
-    the double-covered corner masks.  Returns (adj_or_acc, carries_out).
+    plus 4 knight carries when ``knight`` (16 directions), ``i0`` the
+    shard's global first scan row, ``H_img`` the global height for the
+    double-covered corner masks.  Returns (adj_or_acc, carries_out).
     The carry passes through padded shard rows untouched so the relay
-    hand-off is exact."""
+    hand-off is exact.
+
+    ``transposed`` runs the pass over a column-sharded TRANSPOSED volume
+    (scan rows are image columns, lanes are image rows): used by the
+    16-direction distributed pipeline, which reshards row->column with
+    an `all_to_all` so the horizontal knight families relay across
+    column shards exactly like the vertical ones do across row shards.
+    ``N_glob`` is then the global column count.  Knight relays require
+    even shard scan extents (``i0`` parity must be concrete)."""
     Hp, Dp, Wp = cv_p.shape
     isz = jnp.dtype(cv_p.dtype).itemsize
-    n_car = 3 if diag else 1
+    n_car = (3 if diag else 1) + (4 if knight else 0)
     rc = _pick_rc(Dp, Wp, 3 * n_car, vmem_budget,
                   n_streams=3 if acc is not None else 2, itemsize=isz)
+    if knight and rc == 1:
+        rc = None                        # drift parity needs even chunks
     if rc is None:
         raise ValueError("shard volume too wide for the fused DHW pass")
     n_chunks = Hp // rc if Hp % rc == 0 else -(-Hp // rc)
@@ -590,9 +622,10 @@ def sgm_rows_shard_pass_dhw(cv_p: jnp.ndarray, acc, carries, i0, *,
     kernel = functools.partial(
         _dhw_rows_kernel, RC=rc, Dp=Dp, Xp=Wp, Np=Hp_pad, N1=H1, X1=W1,
         ml=ml, W_pout=W_pout, P1=float(P1), P2=float(P2),
-        Pout=float(Pout), reverse=reverse, diag=diag,
-        accumulate=acc is not None, transposed=False, with_carries=True,
-        H_corner=H_img)
+        Pout=float(Pout), reverse=reverse, diag=diag, knight=knight,
+        accumulate=acc is not None, transposed=transposed,
+        with_carries=True, H_corner=H_img,
+        N_glob=H_img if N_glob is None else N_glob)
     in_specs = [spec] + ([spec] if acc is not None else []) \
         + [smem] + [car_spec] * n_car
     args = ((cv_p,) + ((acc,) if acc is not None else ())

@@ -191,7 +191,16 @@ def distributed_sgm_fused_dhw(cv_local: jnp.ndarray, P1: float, P2: float,
     shard-to-shard as (Dp, Wp) tiles, horizontals run locally through the
     transposed passes.  Exact vs the single-chip
     `sgm_cost_volume(..., n_directions=8)` with zero margins.  Call
-    inside `shard_map` with equal row blocks."""
+    inside `shard_map` with equal row blocks.
+
+    ``n_directions=16`` adds the knight-move families
+    (`correlation/sgm.h:57-155,367`): the down/up knights relay across
+    row shards with 4 extra (Dp, Wp) carries (needs even shard heights
+    so the drift parity is concrete), and the horizontal knights — which
+    drift one ROW per two columns, crossing row shards mid-scan — run
+    after an `all_to_all` reshard to COLUMN shards, where they become
+    plain scan-axis carries and relay with the same mechanism (needs
+    W divisible by the axis size with even per-shard column counts)."""
     from ..ops.sgm_pallas_dhw import (pad_shard_volume_dhw,
                                       sgm_rows_shard_pass_dhw,
                                       sgm_cols_shard_pass_dhw)
@@ -200,13 +209,20 @@ def distributed_sgm_fused_dhw(cv_local: jnp.ndarray, P1: float, P2: float,
     cv_local = cv_local.astype(jnp.float32)
     H1, W1, D = cv_local.shape
     diag = n_directions >= 8
+    knight = n_directions >= 16
     n = jax.lax.axis_size(axis_name)
     me = jax.lax.axis_index(axis_name)
     H_img = H1 * n
     i0 = me * H1
     cv_p = pad_shard_volume_dhw(cv_local)
     Hp, Dp, Wp = cv_p.shape
-    n_car = 3 if diag else 1
+    n_car = (3 if diag else 1) + (4 if knight else 0)
+    if knight and H1 % 2:
+        raise ValueError("16-direction distributed SGM needs even shard "
+                         "heights (global drift parity must be concrete)")
+    if knight and (W1 % n or (W1 // n) % 2):
+        raise ValueError("16-direction distributed SGM needs W divisible "
+                         "by the tile axis with even per-shard columns")
 
     def relay(acc, reverse):
         my_turn = (n - 1 - me) if reverse else me
@@ -221,7 +237,8 @@ def distributed_sgm_fused_dhw(cv_local: jnp.ndarray, P1: float, P2: float,
                 out, couts = sgm_rows_shard_pass_dhw(
                     cv_p, acc, carries, i0, H1=H1, W1=W1, H_img=H_img,
                     ml=0, W_pout=W1, P1=P1, P2=P2, Pout=Pout,
-                    reverse=reverse, diag=diag, interpret=interpret)
+                    reverse=reverse, diag=diag, knight=knight,
+                    interpret=interpret)
                 return tuple(couts), out
 
             carries, acc = jax.lax.cond(s == my_turn, run,
@@ -238,10 +255,84 @@ def distributed_sgm_fused_dhw(cv_local: jnp.ndarray, P1: float, P2: float,
     adj = jnp.zeros_like(cv_p)
     adj = relay(adj, reverse=False)
     adj = relay(adj, reverse=True)
-    adj = sgm_cols_shard_pass_dhw(cv_p, adj, H1=H1, W1=W1, ml=0,
-                                  W_pout=W1, P1=P1, P2=P2, Pout=Pout,
-                                  reverse=False, interpret=interpret)
-    adj = sgm_cols_shard_pass_dhw(cv_p, adj, H1=H1, W1=W1, ml=0,
-                                  W_pout=W1, P1=P1, P2=P2, Pout=Pout,
-                                  reverse=True, interpret=interpret)
-    return cv_local + jnp.moveaxis(adj[:H1, :D, :W1], 1, -1)
+    if not knight:
+        adj = sgm_cols_shard_pass_dhw(cv_p, adj, H1=H1, W1=W1, ml=0,
+                                      W_pout=W1, P1=P1, P2=P2, Pout=Pout,
+                                      reverse=False, interpret=interpret)
+        adj = sgm_cols_shard_pass_dhw(cv_p, adj, H1=H1, W1=W1, ml=0,
+                                      W_pout=W1, P1=P1, P2=P2, Pout=Pout,
+                                      reverse=True, interpret=interpret)
+        return cv_local + jnp.moveaxis(adj[:H1, :D, :W1], 1, -1)
+    return cv_local + _transposed_knight_stage(
+        cv_local, jnp.moveaxis(adj[:H1, :D, :W1], 1, -1), P1, P2, Pout,
+        axis_name, interpret)
+
+
+def _transposed_knight_stage(cv_local, adj_local, P1, P2, Pout, axis_name,
+                             interpret):
+    """The 16-direction horizontal stage: reshard (H_loc, W, D) row
+    shards to (H, W_loc, D) column shards with an `all_to_all`, run the
+    transposed forward/reverse passes (1 horizontal + 4 knight carries
+    each) with the carry relay across COLUMN shards, and reshard the
+    accumulated adjustment back.  Exactness: the transposed knight
+    families drift one lane (image row) per two scan steps (columns);
+    with columns as the sharded scan axis and full-height lanes, the
+    drift never crosses a shard — only the scan carry does, which the
+    relay hands off bit-exactly."""
+    from ..ops.sgm_pallas_dhw import (pad_shard_volume_dhw,
+                                      sgm_rows_shard_pass_dhw)
+    H1, W, D = cv_local.shape
+    n = jax.lax.axis_size(axis_name)
+    me = jax.lax.axis_index(axis_name)
+    H = H1 * n
+    W_loc = W // n
+
+    def to_cols(x):                      # (H1, W, D) -> (W_loc, H, D)
+        x = jax.lax.all_to_all(x, axis_name, split_axis=1, concat_axis=0,
+                               tiled=True)
+        return jnp.moveaxis(x, 1, 0)
+
+    cv_c = to_cols(cv_local)             # scan rows = image columns
+    adj_c = to_cols(adj_local)
+    cv_cp = pad_shard_volume_dhw(cv_c)   # (W_locp, Dp, Hp_lanes)
+    Wp_loc, Dp, Hp_lanes = cv_cp.shape
+    adj_cp = jnp.moveaxis(adj_c, -1, 1)
+    adj_cp = jnp.pad(adj_cp, ((0, Wp_loc - W_loc), (0, Dp - D),
+                              (0, Hp_lanes - H1 * n)))
+    j0 = me * W_loc
+
+    def relay_T(acc, reverse):
+        my_turn = (n - 1 - me) if reverse else me
+        perm = ([(i, i - 1) for i in range(1, n)] if reverse
+                else [(i, i + 1) for i in range(n - 1)])
+
+        def step(state, s):
+            carries, acc = state
+
+            def run(ops):
+                carries, acc = ops
+                out, couts = sgm_rows_shard_pass_dhw(
+                    cv_cp, acc, carries, j0, H1=W_loc, W1=H,
+                    H_img=W, ml=0, W_pout=W, P1=P1, P2=P2, Pout=Pout,
+                    reverse=reverse, diag=False, knight=True,
+                    transposed=True, N_glob=W, interpret=interpret)
+                return tuple(couts), out
+
+            carries, acc = jax.lax.cond(s == my_turn, run,
+                                        lambda ops: ops, (carries, acc))
+            carries = tuple(jax.lax.ppermute(c, axis_name, perm)
+                            for c in carries)
+            return (carries, acc), None
+
+        zc = tuple(jnp.zeros((Dp, Hp_lanes), cv_cp.dtype)
+                   for _ in range(5))
+        (_, acc), _ = jax.lax.scan(step, (zc, acc),
+                                   jnp.arange(n, dtype=jnp.int32))
+        return acc
+
+    adj_cp = relay_T(adj_cp, reverse=False)
+    adj_cp = relay_T(adj_cp, reverse=True)
+    out = jnp.moveaxis(adj_cp[:W_loc, :D, :H], 1, -1)   # (W_loc, H, D)
+    out = jnp.moveaxis(out, 0, 1)                       # (H, W_loc, D)
+    return jax.lax.all_to_all(out, axis_name, split_axis=0, concat_axis=1,
+                              tiled=True)

@@ -116,11 +116,10 @@ def distributed_dense_stereo_step(mesh: Mesh, func: MatchingFunction,
                                  disp_width, "tile")
         if n_directions >= 8:
             # fused DHW Pallas kernels per shard with vertical + diagonal
-            # carry relay (sgm_dist.distributed_sgm_fused_dhw)
+            # (+ knight, for 16) carry relay (distributed_sgm_fused_dhw)
             from .sgm_dist import distributed_sgm_fused_dhw
-            run = lambda c: distributed_sgm_fused_dhw(c, P1, P2,
-                                                      axis_name="tile",
-                                                      n_directions=8)
+            run = lambda c: distributed_sgm_fused_dhw(
+                c, P1, P2, axis_name="tile", n_directions=n_directions)
         else:
             run = lambda c: distributed_sgm(c, P1, P2, axis_name="tile")
         if strategy is ExtractionStrategy.SCORE:
@@ -216,11 +215,10 @@ def distributed_full_step(mesh: Mesh, func: MatchingFunction, h_radius: int,
         cv = cv[..., :disp_width]
         if n_directions >= 8:
             # fused DHW Pallas kernels per shard with vertical + diagonal
-            # carry relay (sgm_dist.distributed_sgm_fused_dhw)
+            # (+ knight, for 16) carry relay (distributed_sgm_fused_dhw)
             from .sgm_dist import distributed_sgm_fused_dhw
-            run = lambda c: distributed_sgm_fused_dhw(c, P1, P2,
-                                                      axis_name="tile",
-                                                      n_directions=8)
+            run = lambda c: distributed_sgm_fused_dhw(
+                c, P1, P2, axis_name="tile", n_directions=n_directions)
         else:
             run = lambda c: distributed_sgm(c, P1, P2, axis_name="tile")
         if strategy is ExtractionStrategy.SCORE:

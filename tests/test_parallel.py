@@ -229,3 +229,51 @@ def test_distributed_fused_sgm_dhw_matches_single_chip(rng):
             check_vma=False)
         got = np.asarray(jax.jit(f)(cv))
         np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+
+def test_distributed_fused_sgm_dhw_16dir_matches_single_chip(rng):
+    """16-direction distributed SGM: knight carries relay across row
+    shards in the down/up passes, and the horizontal knight families run
+    after the all_to_all reshard to column shards — exact vs the
+    single-chip 16-direction `sgm_cost_volume`."""
+    import jax
+    from jax.sharding import PartitionSpec as P
+    from libstevi_tpu.ops.sgm import sgm_cost_volume
+    from libstevi_tpu.parallel.sgm_dist import distributed_sgm_fused_dhw
+
+    mesh4 = make_stereo_mesh(MeshSpec(tile=4), jax.devices()[:4])
+    for H2, W2, D2 in [(32, 24, 7), (16, 24, 5)]:
+        cv = jnp.asarray(rng.uniform(0, 4, (H2, W2, D2)).astype(np.float32))
+        want = np.asarray(sgm_cost_volume(cv, 0.3, 1.1, Pout=7.0,
+                                          n_directions=16, backend="xla"))
+        f = jax.shard_map(
+            lambda c: distributed_sgm_fused_dhw(c, 0.3, 1.1, 7.0,
+                                                n_directions=16,
+                                                interpret=True),
+            mesh=mesh4, in_specs=P("tile"), out_specs=P("tile"),
+            check_vma=False)
+        got = np.asarray(jax.jit(f)(cv))
+        np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+
+def test_distributed_full_step_16dir_matches_single_chip(rng):
+    """The flagship multi-chip step with 16-direction SGM (knight relay
+    across row shards + all_to_all column stage) == single-chip."""
+    mesh = make_stereo_mesh(MeshSpec(batch=1, tile=2, dsh=2),
+                            jax.devices()[:4])
+    B, H2, W2 = 1, 16, 24
+    ls = jnp.asarray(rng.uniform(0.1, 1, (B, H2, W2)).astype(np.float32))
+    rs = jnp.asarray(rng.uniform(0.1, 1, (B, H2, W2)).astype(np.float32))
+    step = distributed_full_step(mesh, MatchingFunction.ZNCC, 1, 1, D,
+                                 P1=0.1, P2=0.5, n_directions=16)
+    got = np.asarray(step(ls, rs))
+    for b in range(B):
+        cv = unfold_based_cost_volume(MatchingFunction.ZNCC, ls[b], rs[b],
+                                      1, 1, D, backend="box")
+        sgm = sgm_cost_volume(cv, 0.1, 0.5, n_directions=16,
+                              strategy=ExtractionStrategy.SCORE,
+                              backend="xla")
+        want = np.asarray(extract_selected_index(
+            sgm, ExtractionStrategy.SCORE))
+        exact = (got[b] == want).mean()
+        assert exact > 0.99, exact
