@@ -7,6 +7,9 @@ point_cloud_infos,io_remove_attributes}` — one tool covering them all:
   python cli/io_pointcloud.py info cloud.las
   python cli/io_pointcloud.py convert in.las out.pcd [--drop attr ...]
       [--rename old=new ...]
+  python cli/io_pointcloud.py map in.las [out.las] --map x=y y=x z=newZ
+      [--only-keep]    (examples/io_map/main.cpp — position components
+      participate in the mapping; prints the first point before/after)
 """
 
 from __future__ import annotations
@@ -33,6 +36,15 @@ def main(argv=None):
                         help="attributes to remove (io_remove_attributes)")
     p_conv.add_argument("--rename", nargs="*", default=[],
                         help="old=new attribute renames (attributeMapper)")
+    p_map = sub.add_parser("map", help="attribute mapper incl. geometry "
+                           "components (examples/io_map)")
+    p_map.add_argument("src")
+    p_map.add_argument("dst", nargs="?", default=None)
+    p_map.add_argument("--map", nargs="+", required=True, dest="mapping",
+                       help="old=new pairs; x/y/z address the geometry")
+    p_map.add_argument("--only-keep", action="store_true",
+                       help="drop attributes not named in the map "
+                            "(onlyKeepAttributesInMap)")
     args = ap.parse_args(argv)
 
     from libstevi_tpu.io import open_point_cloud, save_point_cloud
@@ -60,6 +72,34 @@ def main(argv=None):
                 maxs = np.maximum(maxs, ch["xyz"].max(0))
         out["mins"] = mins.tolist()
         out["maxs"] = maxs.tolist()
+        print(json.dumps(out, indent=1))
+        return 0
+
+    if args.cmd == "map":
+        from libstevi_tpu.io.pointcloud_io import (AttributeMapperStream,
+                                                   map_point_cloud_attributes)
+        mapping = dict(r.split("=", 1) for r in args.mapping)
+        stream = open_point_cloud_stream(args.src)
+        first = stream.read_chunk(0, 1)
+        mapped = AttributeMapperStream(stream, mapping, args.only_keep)
+        first_m = mapped.read_chunk(0, 1)
+
+        def show(ch):
+            d = {"geometry": np.asarray(ch["xyz"][0]).tolist()}
+            d.update({k: np.asarray(v[0]).tolist() for k, v in ch.items()
+                      if k != "xyz"})
+            return d
+
+        out = {"attributes": list(mapped.attributes),
+               "first_point_before": show(first),
+               "first_point_after": show(first_m)}
+        if args.dst:
+            from libstevi_tpu.io import open_point_cloud as _opc
+            from libstevi_tpu.io import save_point_cloud as _spc
+            cloud = map_point_cloud_attributes(_opc(args.src), mapping,
+                                               args.only_keep)
+            _spc(args.dst, cloud)
+            out["written"] = args.dst
         print(json.dumps(out, indent=1))
         return 0
 

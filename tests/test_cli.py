@@ -61,6 +61,31 @@ class TestIoPointcloudCli:
         np.testing.assert_allclose(back.positions, cloud.positions,
                                    atol=1e-3)
 
+    def test_map(self, tmp_path, capsys, rng):
+        """examples/io_map/main.cpp: geometry-aware attribute mapping."""
+        import io_pointcloud
+        from libstevi_tpu.io import PointCloud, save_point_cloud
+        n = 50
+        pos = rng.uniform(-10, 10, (n, 3))
+        cloud = PointCloud(pos, {"intensity":
+                                 rng.integers(0, 100, n).astype(np.uint16)})
+        src = str(tmp_path / "a.las")
+        dst = str(tmp_path / "b.las")
+        save_point_cloud(src, cloud)
+        io_pointcloud.main(["map", src, dst, "--map", "x=y", "y=x",
+                            "z=newZ"])
+        rep = _capture(capsys)
+        assert "newZ" in rep["attributes"]
+        g0 = rep["first_point_before"]["geometry"]
+        g1 = rep["first_point_after"]["geometry"]
+        assert abs(g1[0] - g0[1]) < 1e-3 and abs(g1[1] - g0[0]) < 1e-3
+        assert g1[2] == 0.0
+        from libstevi_tpu.io import open_point_cloud
+        back = open_point_cloud(dst)
+        np.testing.assert_allclose(back.positions[:, 0], pos[:, 1], atol=1e-3)
+        np.testing.assert_allclose(back.attributes["newZ"], pos[:, 2],
+                                   atol=1e-3)
+
 
 class TestDepthMapCli:
     def test_projection(self, tmp_path, capsys, rng):

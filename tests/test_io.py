@@ -110,6 +110,42 @@ class TestAttributes:
         d = r.drop_attributes(["b"])
         assert list(d.attributes) == ["alpha"]
 
+    def test_geometry_mapper(self, rng):
+        """`attributeMapper.h` via `examples/io_map/main.cpp:29`: x<->y
+        swap + z extracted into a plain attribute (vacated axis -> 0)."""
+        from libstevi_tpu.io.pointcloud_io import map_point_cloud_attributes
+        pos = rng.uniform(-5, 5, (6, 3))
+        c = PointCloud(pos.copy(), {"i": np.arange(6)})
+        m = map_point_cloud_attributes(c, {"x": "y", "y": "x", "z": "newZ"})
+        np.testing.assert_array_equal(m.positions[:, 0], pos[:, 1])
+        np.testing.assert_array_equal(m.positions[:, 1], pos[:, 0])
+        np.testing.assert_array_equal(m.positions[:, 2], 0.0)
+        np.testing.assert_array_equal(m.attributes["newZ"], pos[:, 2])
+        assert "i" in m.attributes
+        k = map_point_cloud_attributes(c, {"z": "h"}, only_keep=True)
+        assert list(k.attributes) == ["h"] and k.positions[:, 2].max() == 0
+
+    def test_mapper_stream(self, rng, tmp_path):
+        """Chunk-streaming mapper == whole-cloud mapper on a LAS file."""
+        from libstevi_tpu.io import save_point_cloud
+        from libstevi_tpu.io.pointcloud_io import (
+            AttributeMapperStream, map_point_cloud_attributes,
+            open_point_cloud_stream)
+        n = 64
+        c = PointCloud(rng.uniform(-5, 5, (n, 3)),
+                       {"intensity": rng.integers(0, 99, n).astype(np.uint16)})
+        path = str(tmp_path / "m.las")
+        save_point_cloud(path, c)
+        st = AttributeMapperStream(open_point_cloud_stream(path),
+                                   {"x": "y", "y": "x", "intensity": "amp"})
+        assert "amp" in st.attributes
+        got = st.read_chunk(0, n)
+        from libstevi_tpu.io import open_point_cloud
+        want = map_point_cloud_attributes(
+            open_point_cloud(path), {"x": "y", "y": "x", "intensity": "amp"})
+        np.testing.assert_allclose(got["xyz"], want.positions, atol=1e-6)
+        np.testing.assert_array_equal(got["amp"], want.attributes["amp"])
+
 
 class TestSdcMetacloud:
     def test_sdc_round_trip(self, rng, tmp_path):
