@@ -84,11 +84,52 @@ def read_flo(path: str) -> np.ndarray:
     return data.reshape(H, W, 2)
 
 
+def write_pfm(path: str, image: np.ndarray, scale: float = -1.0) -> bool:
+    """Native PFM writer (`image_io.cpp` PFM branch; the Middlebury
+    float-disparity format of `examples/io_img_and_disp/main.cpp:54-83`):
+    'Pf'/'PF' magic, W H, negative scale = little-endian, rows stored
+    bottom-to-top, float32 exact (no quantization)."""
+    img = np.asarray(image, np.float32)
+    if img.ndim == 3 and img.shape[-1] == 1:
+        img = img[..., 0]
+    color = img.ndim == 3
+    if color and img.shape[-1] != 3:
+        raise ValueError("PFM stores 1 or 3 channels")
+    with open(path, "wb") as f:
+        f.write(b"PF\n" if color else b"Pf\n")
+        f.write(f"{img.shape[1]} {img.shape[0]}\n{scale:g}\n".encode())
+        data = img[::-1]                 # bottom-to-top row order
+        if scale > 0:                    # positive scale = big-endian
+            data = data.astype(">f4")
+        f.write(np.ascontiguousarray(data).tobytes())
+    return True
+
+
+def read_pfm(path: str) -> np.ndarray:
+    """Native PFM reader; returns (H, W) or (H, W, 3) float32."""
+    with open(path, "rb") as f:
+        magic = f.readline().strip()
+        if magic not in (b"Pf", b"PF"):
+            raise IOError(f"not a PFM file: {magic!r}")
+        dims = f.readline().split()
+        while dims and dims[0].startswith(b"#"):
+            dims = f.readline().split()
+        w, h = int(dims[0]), int(dims[1])
+        scale = float(f.readline().strip())
+        n_ch = 3 if magic == b"PF" else 1
+        dt = "<f4" if scale < 0 else ">f4"
+        data = np.frombuffer(f.read(4 * w * h * n_ch), dt)
+    img = data.reshape((h, w, 3) if n_ch == 3 else (h, w))[::-1]
+    return np.ascontiguousarray(img, np.float32)
+
+
 def read_image(path: str, dtype=None) -> np.ndarray:
     """`IO::readImage` (`image_io.h:171`)."""
     ext = os.path.splitext(path)[1].lower()
     if ext == ".stevimg":
         img = read_stevimg(path)
+    elif ext == ".pfm":
+        img = read_pfm(path)
     elif ext == ".flo":
         img = read_flo(path)
     elif ext == ".exr":
@@ -114,6 +155,8 @@ def write_image(path: str, image: np.ndarray) -> bool:
     ext = os.path.splitext(path)[1].lower()
     if ext == ".stevimg":
         return write_stevimg(path, image)
+    if ext == ".pfm":
+        return write_pfm(path, image)
     if ext == ".flo":
         return write_flo(path, image)
     if ext == ".exr":

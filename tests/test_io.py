@@ -30,6 +30,16 @@ class TestImageIO:
         write_flo(p, flow)
         np.testing.assert_array_equal(read_flo(p), flow)
 
+    def test_pfm_round_trip(self, rng, tmp_path):
+        """`examples/io_img_and_disp/main.cpp:54-83` reads .pfm disparity
+        maps (float, Middlebury convention) — float round-trip must be
+        exact, no 8-bit clipping."""
+        disp = rng.uniform(0, 120, (9, 13)).astype(np.float32)
+        p = str(tmp_path / "d.pfm")
+        write_image(p, disp)
+        back = read_image(p)
+        np.testing.assert_array_equal(np.squeeze(back), disp)
+
     def test_png_round_trip(self, rng, tmp_path):
         img = (rng.uniform(0, 255, (16, 16, 3))).astype(np.uint8)
         p = str(tmp_path / "i.png")
