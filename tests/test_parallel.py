@@ -277,3 +277,28 @@ def test_distributed_full_step_16dir_matches_single_chip(rng):
             sgm, ExtractionStrategy.SCORE))
         exact = (got[b] == want).mean()
         assert exact > 0.99, exact
+
+
+def test_distributed_fused_sgm_dhw_medium_shape_8dev(rng):
+    """Non-toy shard shapes across all 8 virtual devices: H=48 rows over
+    8 shards (H_loc=6 -> padded kernel rows on every shard), W=96 lanes,
+    D=16 — exercises multi-chunk grids and the carry relay at realistic
+    aspect ratios, exact vs single-chip."""
+    import jax
+    from jax.sharding import PartitionSpec as P
+    from libstevi_tpu.ops.sgm import sgm_cost_volume
+    from libstevi_tpu.parallel.sgm_dist import distributed_sgm_fused_dhw
+
+    mesh8 = make_stereo_mesh(MeshSpec(tile=8), jax.devices()[:8])
+    H2, W2, D2 = 48, 96, 16
+    cv = jnp.asarray(rng.uniform(0, 4, (H2, W2, D2)).astype(np.float32))
+    want = np.asarray(sgm_cost_volume(cv, 0.3, 1.1, Pout=7.0,
+                                      n_directions=8, backend="xla"))
+    f = jax.shard_map(
+        lambda c: distributed_sgm_fused_dhw(c, 0.3, 1.1, 7.0,
+                                            n_directions=8,
+                                            interpret=True),
+        mesh=mesh8, in_specs=P("tile"), out_specs=P("tile"),
+        check_vma=False)
+    got = np.asarray(jax.jit(f)(cv))
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
