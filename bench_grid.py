@@ -86,13 +86,45 @@ def main():
     # `benchmarkCrossCorrelationAlgorithms.cpp:370-401`'s HD row runs
     # dense on ONE chip; f32 at that scale takes the row-sharded
     # distributed pipeline (parallel/) or the hierarchical matcher.
+    def sgm16_cfg(H, W, D):
+        # 16 directions stay f32 (knight masks break bf16 packed pairs)
+        def fn(l, r):
+            cv = unfold_based_cost_volume(MatchingFunction.ZNCC, l, r, 3, 3,
+                                          D, backend="box", layout="dhw")
+            idx, _ = sgm_wta_truncated(cv, 0.1, 0.5, n_directions=16,
+                                       strategy=ExtractionStrategy.SCORE,
+                                       layout="dhw")
+            return idx
+        return fn
+
+    def wta_cfg(func, D):
+        # per-matching-function CV build + WTA (`benchmarkStereoMatching
+        # Models.cpp:380-425`): non-dot families ride the fused
+        # feature-volume aggregation
+        from libstevi_tpu.core import MATCH_TRAITS
+        from libstevi_tpu.ops import extract_selected_index
+
+        def fn(l, r):
+            cv = unfold_based_cost_volume(func, l, r, 3, 3, D)
+            return extract_selected_index(cv, MATCH_TRAITS[func].strategy)
+        return fn
+
     configs = [("SGM8 ZNCC SD D=20", 480, 640, sgm_cfg(480, 640, 20)),
                ("SGM8 ZNCC SD D=160", 480, 640, sgm_cfg(480, 640, 160)),
                ("SGM8 ZNCC SD D=300", 480, 640, sgm_cfg(480, 640, 300)),
                ("SGM8 ZNCC bf16 SD D=120", 480, 640,
                 sgm_bf16_cfg(480, 640, 120)),
+               ("SGM16 ZNCC SD D=120", 480, 640, sgm16_cfg(480, 640, 120)),
                ("SGM8 ZNCC bf16 dense HD D=320", 720, 1280,
-                sgm_bf16_cfg(720, 1280, 320))]
+                sgm_bf16_cfg(720, 1280, 320)),
+               ("WTA SAD r=3 D=120", 480, 640,
+                wta_cfg(MatchingFunction.SAD, 120)),
+               ("WTA CENSUS r=3 D=120", 480, 640,
+                wta_cfg(MatchingFunction.CENSUS, 120)),
+               ("WTA ZSSD r=3 D=120", 480, 640,
+                wta_cfg(MatchingFunction.ZSSD, 120)),
+               ("WTA NCC r=3 D=120", 480, 640,
+                wta_cfg(MatchingFunction.NCC, 120))]
 
     for name, H, W, fn in configs:
         dt = _timed(fn, pair(H, W))

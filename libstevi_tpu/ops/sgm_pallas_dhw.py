@@ -311,7 +311,7 @@ def _dhw_rows_kernel(*refs, RC, Dp, Xp, Np, N1, X1, ml, W_pout, P1, P2,
 
 
 def _dhw_wta_kernel(*refs, RC, Dp, Xp, N1, X1, D, ml, W_pout, P1, P2,
-                    Pout, r, knight=False):
+                    Pout, r, knight=False, knight_stream=False):
     """The reverse-horizontal pass over the transposed (W, Dp, H) volume,
     fused with tie-last WTA + truncated-band extraction: per image
     column j (scan row) emits the argmin index over d of the complete
@@ -320,8 +320,12 @@ def _dhw_wta_kernel(*refs, RC, Dp, Xp, N1, X1, D, ml, W_pout, P1, P2,
     itself.  ``acc`` holds the accumulated down + up + forward-horizontal
     adjustment.  Outputs are (W, H) maps (caller transposes back)."""
     n_scr = 1 + (4 if knight else 0)
-    cv_ref, acc_ref, idx_ref, *band_refs = refs[:3 + 2 * r + 1]
-    scr = refs[-n_scr:]
+    rest = list(refs)
+    cv_ref = rest.pop(0)
+    acc_ref = rest.pop(0)
+    kw_ref = rest.pop(0) if knight_stream else None
+    idx_ref, *band_refs = rest[:1 + 2 * r + 1]
+    scr = rest[-n_scr:]
     carry_ref = scr[0]
     k_refs = scr[1:]
     h = pl.program_id(0)
@@ -360,8 +364,9 @@ def _dhw_wta_kernel(*refs, RC, Dp, Xp, N1, X1, D, ml, W_pout, P1, P2,
                     kcur = jnp.where(lanes < X1, kcur, 0.0)
                 return jnp.where(j < N1, kcur, 0.0) if row_mask else kcur
 
-            c_k, extra = _knight_row(c_k, base, pa, t, t_par, lanes, X1,
-                                     P1, P2, upd_k, dt, zcol)
+            c_k, extra = _knight_row(
+                c_k, base, pa, t, t_par, lanes, X1, P1, P2, upd_k, dt,
+                zcol, w_stream=kw_ref[rr] if knight_stream else None)
             adj = adj + extra
         # WTA + band extraction run in f32 regardless of the DP dtype:
         # packed-bf16 compare masks cannot relayout against the i32 iota
@@ -608,16 +613,25 @@ def _run_dhw(region, ml, W_pout, P1, P2, Pout, diag, vmem_budget,
     kernel = functools.partial(
         _dhw_wta_kernel, RC=rc_t, Dp=Dp, Xp=Hp_lanes, N1=W1, X1=H1, D=D,
         ml=ml, W_pout=W_pout, P1=float(P1), P2=float(P2), Pout=float(Pout),
-        r=r, knight=knight)
+        r=r, knight=knight, knight_stream=knight)
+    in_specs = [spec, spec]
+    args = (cv_T, adj_T)
+    if knight:
+        kw_spec = pl.BlockSpec((rc_t, 4, Hp_lanes),
+                               lambda h: (n_chunks - 1 - h, 0, 0),
+                               memory_space=pltpu.VMEM)
+        in_specs.append(kw_spec)
+        args = args + (_knight_weights(Wp_rows, Hp_lanes, H1, W1, True,
+                                       cv_T.dtype),)
     outs = pl.pallas_call(
-        kernel, grid=(n_chunks,), in_specs=[spec, spec],
+        kernel, grid=(n_chunks,), in_specs=in_specs,
         out_specs=[map_spec] * (2 + 2 * r),
         out_shape=([jax.ShapeDtypeStruct((Wp_rows, Hp_lanes), jnp.int32)]
                    + [jax.ShapeDtypeStruct((Wp_rows, Hp_lanes), jnp.float32)]
                    * (2 * r + 1)),
         scratch_shapes=[pltpu.VMEM((Dp, Hp_lanes), cv_T.dtype)]
         * (5 if knight else 1),
-        interpret=interpret)(cv_T, adj_T)
+        interpret=interpret)(*args)
     idx = outs[0][:W1, :H1].T
     bands = jnp.stack([b[:W1, :H1].T for b in outs[1:]], axis=-1)
     return idx, bands
