@@ -76,8 +76,7 @@ def main(argv=None):
         return 0
 
     if args.cmd == "map":
-        from libstevi_tpu.io.pointcloud_io import (AttributeMapperStream,
-                                                   map_point_cloud_attributes)
+        from libstevi_tpu.io.pointcloud_io import AttributeMapperStream
         mapping = dict(r.split("=", 1) for r in args.mapping)
         stream = open_point_cloud_stream(args.src)
         first = stream.read_chunk(0, 1)
@@ -94,10 +93,16 @@ def main(argv=None):
                "first_point_before": show(first),
                "first_point_after": show(first_m)}
         if args.dst:
-            from libstevi_tpu.io import open_point_cloud as _opc
+            # single pass through the mapper stream (the source is never
+            # re-opened or materialized twice); the codec write itself is
+            # in-memory for now — see save_point_cloud
+            from libstevi_tpu.io import PointCloud
             from libstevi_tpu.io import save_point_cloud as _spc
-            cloud = map_point_cloud_attributes(_opc(args.src), mapping,
-                                               args.only_keep)
+            chunks = list(mapped.chunks())
+            cloud = PointCloud(
+                np.concatenate([c["xyz"] for c in chunks]),
+                {k: np.concatenate([c[k] for c in chunks])
+                 for k in chunks[0] if k != "xyz"})
             _spc(args.dst, cloud)
             out["written"] = args.dst
         print(json.dumps(out, indent=1))

@@ -99,6 +99,8 @@ def write_pfm(path: str, image: np.ndarray, scale: float = -1.0) -> bool:
         f.write(b"PF\n" if color else b"Pf\n")
         f.write(f"{img.shape[1]} {img.shape[0]}\n{scale:g}\n".encode())
         data = img[::-1]                 # bottom-to-top row order
+        if abs(scale) not in (0.0, 1.0):
+            data = data / np.float32(abs(scale))   # stored = physical/|s|
         if scale > 0:                    # positive scale = big-endian
             data = data.astype(">f4")
         f.write(np.ascontiguousarray(data).tobytes())
@@ -106,7 +108,10 @@ def write_pfm(path: str, image: np.ndarray, scale: float = -1.0) -> bool:
 
 
 def read_pfm(path: str) -> np.ndarray:
-    """Native PFM reader; returns (H, W) or (H, W, 3) float32."""
+    """Native PFM reader; returns (H, W) or (H, W, 3) float32.  The
+    header scale's sign gives the endianness and its magnitude the
+    sample unit factor — applied here (files written with |scale| != 1
+    come back in physical units; our writer emits -1, a unit factor)."""
     with open(path, "rb") as f:
         magic = f.readline().strip()
         if magic not in (b"Pf", b"PF"):
@@ -120,7 +125,10 @@ def read_pfm(path: str) -> np.ndarray:
         dt = "<f4" if scale < 0 else ">f4"
         data = np.frombuffer(f.read(4 * w * h * n_ch), dt)
     img = data.reshape((h, w, 3) if n_ch == 3 else (h, w))[::-1]
-    return np.ascontiguousarray(img, np.float32)
+    img = np.ascontiguousarray(img, np.float32)
+    if abs(scale) not in (0.0, 1.0):
+        img = img * np.float32(abs(scale))
+    return img
 
 
 def read_image(path: str, dtype=None) -> np.ndarray:

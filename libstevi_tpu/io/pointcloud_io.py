@@ -234,15 +234,33 @@ def map_point_cloud_attributes(cloud: PointCloud, mapping: dict,
     turns the height into a plain attribute (the vacated geometry axis
     reads as 0, like the reference's empty-optional fallback).
     ``only_keep`` drops attributes whose name is not a mapping key
-    (geometry columns always resolve, by mapped name)."""
+    (geometry columns always resolve, by mapped name).
+
+    Collision rules (lossless or loud): explicitly-mapped names own
+    their target; a second explicit mapping to the same target, or an
+    unmapped name whose own slot is claimed by a mapping, raises
+    ``ValueError`` instead of silently dropping data — map the displaced
+    name away (``{"intensity": "z", "z": "old_z"}``) or drop it first."""
     pos = np.asarray(cloud.positions, np.float64)
     names = {"x": pos[:, 0], "y": pos[:, 1], "z": pos[:, 2]}
     names.update(cloud.attributes)
     out = {}
-    for k, v in names.items():
-        if only_keep and k not in mapping and k not in ("x", "y", "z"):
+    for k in names:                       # explicit mappings first
+        if k in mapping:
+            nk = mapping[k]
+            if nk in out:
+                raise ValueError(f"two attributes map to {nk!r}")
+            out[nk] = names[k]
+    for k, v in names.items():            # identity-kept names
+        if k in mapping:
             continue
-        out.setdefault(mapping.get(k, k), v)
+        if only_keep and k not in ("x", "y", "z"):
+            continue
+        if k in out:
+            raise ValueError(
+                f"mapping target {k!r} collides with the existing "
+                f"attribute {k!r}; map it away or drop it first")
+        out[k] = v
     zeros = np.zeros(cloud.n_points)
     new_pos = np.stack([np.asarray(out.pop(ax, zeros), np.float64)
                         for ax in ("x", "y", "z")], -1)

@@ -115,6 +115,38 @@ def distributed_sgm(cv_local: jnp.ndarray, P1: float, P2: float,
     return sgm
 
 
+def _carry_relay(acc, *, reverse, axis_name, n_car, carry_shape, dtype,
+                 run_pass):
+    """The shared shard-to-shard DP carry relay: shard k runs its pass at
+    relay step k (n-1-k for reverse), then ppermutes its outgoing carries
+    one shard along; inactive shards forward carries untouched.  One
+    protocol for the lane-layout, DHW and transposed-column relays."""
+    n = jax.lax.axis_size(axis_name)
+    me = jax.lax.axis_index(axis_name)
+    my_turn = (n - 1 - me) if reverse else me
+    perm = ([(i, i - 1) for i in range(1, n)] if reverse
+            else [(i, i + 1) for i in range(n - 1)])
+
+    def step(state, s):
+        carries, acc = state
+
+        def run(ops):
+            carries, acc = ops
+            out, couts = run_pass(acc, carries, reverse)
+            return tuple(couts), out
+
+        carries, acc = jax.lax.cond(s == my_turn, run,
+                                    lambda ops: ops, (carries, acc))
+        carries = tuple(jax.lax.ppermute(c, axis_name, perm)
+                        for c in carries)
+        return (carries, acc), None
+
+    zc = tuple(jnp.zeros(carry_shape, dtype) for _ in range(n_car))
+    (_, acc), _ = jax.lax.scan(step, (zc, acc),
+                               jnp.arange(n, dtype=jnp.int32))
+    return acc
+
+
 def distributed_sgm_fused(cv_local: jnp.ndarray, P1: float, P2: float,
                           Pout: float = 100.0, axis_name: str = "tile",
                           n_directions: int = 8,
@@ -142,32 +174,16 @@ def distributed_sgm_fused(cv_local: jnp.ndarray, P1: float, P2: float,
     Hp, Wp, Dp, _, _, _ = sgm_shard_dims(H1, W1, D)
     n_car = 3 if diag else 1
 
+    def pass_fn(acc, carries, reverse):
+        return sgm_rows_shard_pass(
+            cv_p, acc, carries, i0, H1=H1, W1=W1, H_img=H_img,
+            ml=0, W_pout=W1, P1=P1, P2=P2, Pout=Pout,
+            reverse=reverse, diag=diag, interpret=interpret)
+
     def relay(acc, reverse):
-        my_turn = (n - 1 - me) if reverse else me
-        perm = ([(i, i - 1) for i in range(1, n)] if reverse
-                else [(i, i + 1) for i in range(n - 1)])
-
-        def step(state, s):
-            carries, acc = state
-
-            def run(ops):
-                carries, acc = ops
-                out, couts = sgm_rows_shard_pass(
-                    cv_p, acc, carries, i0, H1=H1, W1=W1, H_img=H_img,
-                    ml=0, W_pout=W1, P1=P1, P2=P2, Pout=Pout,
-                    reverse=reverse, diag=diag, interpret=interpret)
-                return tuple(couts), out
-
-            carries, acc = jax.lax.cond(s == my_turn, run,
-                                        lambda ops: ops, (carries, acc))
-            carries = tuple(jax.lax.ppermute(c, axis_name, perm)
-                            for c in carries)
-            return (carries, acc), None
-
-        zc = tuple(jnp.zeros((Wp, Dp), cv_p.dtype) for _ in range(n_car))
-        (_, acc), _ = jax.lax.scan(step, (zc, acc),
-                                   jnp.arange(n, dtype=jnp.int32))
-        return acc
+        return _carry_relay(acc, reverse=reverse, axis_name=axis_name,
+                            n_car=n_car, carry_shape=(Wp, Dp),
+                            dtype=cv_p.dtype, run_pass=pass_fn)
 
     adj = jnp.zeros_like(cv_p)
     adj = relay(adj, reverse=False)
@@ -224,33 +240,17 @@ def distributed_sgm_fused_dhw(cv_local: jnp.ndarray, P1: float, P2: float,
         raise ValueError("16-direction distributed SGM needs W divisible "
                          "by the tile axis with even per-shard columns")
 
+    def pass_fn(acc, carries, reverse):
+        return sgm_rows_shard_pass_dhw(
+            cv_p, acc, carries, i0, H1=H1, W1=W1, H_img=H_img,
+            ml=0, W_pout=W1, P1=P1, P2=P2, Pout=Pout,
+            reverse=reverse, diag=diag, knight=knight,
+            interpret=interpret)
+
     def relay(acc, reverse):
-        my_turn = (n - 1 - me) if reverse else me
-        perm = ([(i, i - 1) for i in range(1, n)] if reverse
-                else [(i, i + 1) for i in range(n - 1)])
-
-        def step(state, s):
-            carries, acc = state
-
-            def run(ops):
-                carries, acc = ops
-                out, couts = sgm_rows_shard_pass_dhw(
-                    cv_p, acc, carries, i0, H1=H1, W1=W1, H_img=H_img,
-                    ml=0, W_pout=W1, P1=P1, P2=P2, Pout=Pout,
-                    reverse=reverse, diag=diag, knight=knight,
-                    interpret=interpret)
-                return tuple(couts), out
-
-            carries, acc = jax.lax.cond(s == my_turn, run,
-                                        lambda ops: ops, (carries, acc))
-            carries = tuple(jax.lax.ppermute(c, axis_name, perm)
-                            for c in carries)
-            return (carries, acc), None
-
-        zc = tuple(jnp.zeros((Dp, Wp), cv_p.dtype) for _ in range(n_car))
-        (_, acc), _ = jax.lax.scan(step, (zc, acc),
-                                   jnp.arange(n, dtype=jnp.int32))
-        return acc
+        return _carry_relay(acc, reverse=reverse, axis_name=axis_name,
+                            n_car=n_car, carry_shape=(Dp, Wp),
+                            dtype=cv_p.dtype, run_pass=pass_fn)
 
     adj = jnp.zeros_like(cv_p)
     adj = relay(adj, reverse=False)
@@ -301,34 +301,17 @@ def _transposed_knight_stage(cv_local, adj_local, P1, P2, Pout, axis_name,
                               (0, Hp_lanes - H1 * n)))
     j0 = me * W_loc
 
+    def pass_fn(acc, carries, reverse):
+        return sgm_rows_shard_pass_dhw(
+            cv_cp, acc, carries, j0, H1=W_loc, W1=H,
+            H_img=W, ml=0, W_pout=W, P1=P1, P2=P2, Pout=Pout,
+            reverse=reverse, diag=False, knight=True,
+            transposed=True, N_glob=W, interpret=interpret)
+
     def relay_T(acc, reverse):
-        my_turn = (n - 1 - me) if reverse else me
-        perm = ([(i, i - 1) for i in range(1, n)] if reverse
-                else [(i, i + 1) for i in range(n - 1)])
-
-        def step(state, s):
-            carries, acc = state
-
-            def run(ops):
-                carries, acc = ops
-                out, couts = sgm_rows_shard_pass_dhw(
-                    cv_cp, acc, carries, j0, H1=W_loc, W1=H,
-                    H_img=W, ml=0, W_pout=W, P1=P1, P2=P2, Pout=Pout,
-                    reverse=reverse, diag=False, knight=True,
-                    transposed=True, N_glob=W, interpret=interpret)
-                return tuple(couts), out
-
-            carries, acc = jax.lax.cond(s == my_turn, run,
-                                        lambda ops: ops, (carries, acc))
-            carries = tuple(jax.lax.ppermute(c, axis_name, perm)
-                            for c in carries)
-            return (carries, acc), None
-
-        zc = tuple(jnp.zeros((Dp, Hp_lanes), cv_cp.dtype)
-                   for _ in range(5))
-        (_, acc), _ = jax.lax.scan(step, (zc, acc),
-                                   jnp.arange(n, dtype=jnp.int32))
-        return acc
+        return _carry_relay(acc, reverse=reverse, axis_name=axis_name,
+                            n_car=1 + 4, carry_shape=(Dp, Hp_lanes),
+                            dtype=cv_cp.dtype, run_pass=pass_fn)
 
     adj_cp = relay_T(adj_cp, reverse=False)
     adj_cp = relay_T(adj_cp, reverse=True)

@@ -478,3 +478,27 @@ class TestStreamingInterface:
         np.testing.assert_allclose(ch["xyz"], cloud.positions[40:50],
                                    atol=1e-6)
         np.testing.assert_allclose(ch["i"], cloud.attributes["i"][40:50])
+
+    def test_mapper_collision_raises(self, rng):
+        """Lossless-or-loud: a mapping target colliding with an unmapped
+        name must raise, not silently drop data."""
+        from libstevi_tpu.io.pointcloud_io import map_point_cloud_attributes
+        c = PointCloud(rng.uniform(size=(4, 3)),
+                       {"intensity": np.arange(4)})
+        with pytest.raises(ValueError):
+            map_point_cloud_attributes(c, {"intensity": "z"})
+        with pytest.raises(ValueError):
+            map_point_cloud_attributes(c, {"z": "intensity"})
+        # mapping the displaced name away is lossless and allowed
+        m = map_point_cloud_attributes(c, {"intensity": "z", "z": "old_z"})
+        np.testing.assert_array_equal(m.positions[:, 2], np.arange(4))
+        assert "old_z" in m.attributes
+
+    def test_pfm_scale_factor(self, tmp_path):
+        """PFM |scale| is a unit factor: write(scale=-0.25) then read
+        returns the original physical values."""
+        from libstevi_tpu.io.image_io import read_pfm, write_pfm
+        img = np.linspace(0, 4, 12, dtype=np.float32).reshape(3, 4)
+        p = str(tmp_path / "s.pfm")
+        write_pfm(p, img, scale=-0.25)
+        np.testing.assert_allclose(read_pfm(p), img, rtol=1e-6)
