@@ -93,17 +93,10 @@ def main(argv=None):
                "first_point_before": show(first),
                "first_point_after": show(first_m)}
         if args.dst:
-            # single pass through the mapper stream (the source is never
-            # re-opened or materialized twice); the codec write itself is
-            # in-memory for now — see save_point_cloud
-            from libstevi_tpu.io import PointCloud
-            from libstevi_tpu.io import save_point_cloud as _spc
-            chunks = list(mapped.chunks())
-            cloud = PointCloud(
-                np.concatenate([c["xyz"] for c in chunks]),
-                {k: np.concatenate([c[k] for c in chunks])
-                 for k in chunks[0] if k != "xyz"})
-            _spc(args.dst, cloud)
+            # one bounded-memory pass: mapper stream -> chunked writer
+            # (LAS streams end-to-end; other codecs materialize once)
+            from libstevi_tpu.io.pointcloud_io import write_point_cloud_stream
+            write_point_cloud_stream(args.dst, mapped)
             out["written"] = args.dst
         print(json.dumps(out, indent=1))
         return 0

@@ -370,6 +370,174 @@ _STD_ATTRS = {"intensity", "return_number", "number_of_returns",
               "extra_bytes"}
 
 
+class LasChunkWriter:
+    """Bounded-memory chunk-streaming LAS writer (`native/las_codec.cpp`
+    `las_writer_open/append/close`): the header is backpatched with the
+    final point count / bounds / offset at close, so clouds larger than
+    RAM stream to disk through fixed-size SOA chunks — the write-side
+    complement of `LasReader`.  The point format and extra-bytes
+    descriptors are fixed from the FIRST chunk's attribute names/dtypes
+    (same inference as `write_las_v2`); later chunks must carry the same
+    attributes.  The coordinate offset comes from the first chunk's
+    minima; at the default 1e-4 scale, later chunks must stay within
+    ~200 km of it (int32 quantization range)."""
+
+    def __init__(self, path: str, point_format: int | None = None,
+                 vlrs: list | None = None,
+                 extra_descriptors: list | None = None,
+                 scale=None, force_v14: bool = False):
+        self._path = path
+        self._pf = point_format
+        self._vlrs = list(vlrs or [])
+        self._descriptors = extra_descriptors
+        self._scale = scale
+        self._force_v14 = force_v14
+        self._handle = None
+        self._eb = 0
+        self.n_written = 0
+
+    # -- format / descriptor inference (first chunk) -----------------------
+
+    def _open(self, attrs: dict):
+        from ..native import las_library
+        if self._pf is None:
+            has_gps = "gps_time" in attrs
+            has_rgb = "rgb" in attrs
+            self._pf = {(False, False): 0, (True, False): 1,
+                        (False, True): 2, (True, True): 3}[
+                (has_gps, has_rgb)]
+        custom = {k: np.asarray(v) for k, v in attrs.items()
+                  if k not in _STD_ATTRS}
+        vlrs = list(self._vlrs)
+        if self._descriptors is None:
+            self._descriptors = []
+            for name, v in custom.items():
+                if v.dtype == bool:
+                    v = v.astype(np.uint8)
+                code = _EB_CODES.get(np.dtype(v.dtype))
+                if code is None:
+                    raise ValueError(f"cannot encode attribute {name!r} "
+                                     f"dtype {v.dtype} as LAS extra bytes")
+                self._descriptors.append(ExtraBytesDescriptor(name, code))
+        if self._descriptors:
+            self._eb = sum(d.nbytes for d in self._descriptors)
+            vlrs.append(Vlr("LASF_Spec", 4,
+                            b"".join(d.pack() for d in self._descriptors),
+                            "extra bytes"))
+        elif "extra_bytes" in attrs:
+            self._eb = np.ascontiguousarray(attrs["extra_bytes"],
+                                            np.uint8).shape[1]
+
+        n_vlr = len(vlrs)
+        if n_vlr:
+            uid = np.zeros((n_vlr, 16), np.uint8)
+            rid = np.zeros(n_vlr, np.uint16)
+            desc = np.zeros((n_vlr, 32), np.uint8)
+            plens = np.zeros(n_vlr, np.uint64)
+            isev = np.zeros(n_vlr, np.uint8)
+            payload = b"".join(v.payload for v in vlrs)
+            for i, v in enumerate(vlrs):
+                u = v.user_id.encode()[:16]
+                uid[i, :len(u)] = np.frombuffer(u, np.uint8)
+                d = v.description.encode()[:32]
+                desc[i, :len(d)] = np.frombuffer(d, np.uint8)
+                rid[i] = v.record_id
+                plens[i] = len(v.payload)
+                isev[i] = 1 if v.is_evlr else 0
+            payload_arr = np.frombuffer(payload, np.uint8).copy() \
+                if payload else np.zeros(0, np.uint8)
+        else:
+            uid = rid = desc = plens = isev = payload_arr = None
+        scale_arr = None if self._scale is None \
+            else np.ascontiguousarray(self._scale, np.float64)
+        self._handle = las_library().las_writer_open(
+            self._path.encode(), self._pf, self._eb, n_vlr,
+            _ptr(uid), _ptr(rid), _ptr(desc), _ptr(plens),
+            _ptr(payload_arr), _ptr(isev), _ptr(scale_arr),
+            1 if self._force_v14 else 0)
+        if not self._handle:
+            raise IOError(f"LAS writer open failed: {self._path}")
+
+    # -- per-chunk packing ---------------------------------------------------
+
+    def _pack_extra(self, attrs: dict, n: int) -> np.ndarray | None:
+        if self._descriptors:
+            extra = np.zeros((n, self._eb), np.uint8)
+            off = 0
+            for d in self._descriptors:
+                v = attrs.get(d.name)
+                if v is None:
+                    raise ValueError(f"chunk lacks attribute {d.name!r}")
+                v = np.asarray(v)
+                if v.dtype == bool:
+                    v = v.astype(np.uint8)
+                raw = np.ascontiguousarray(
+                    v.astype(d.dtype) if d.dtype is not None else v)
+                extra[:, off:off + d.nbytes] = \
+                    raw.view(np.uint8).reshape(n, d.nbytes)
+                off += d.nbytes
+            return extra
+        if "extra_bytes" in attrs:
+            return np.ascontiguousarray(attrs["extra_bytes"], np.uint8)
+        return None
+
+    def write_chunk(self, xyz: np.ndarray,
+                    attributes: dict | None = None) -> int:
+        from ..native import las_library
+        attrs = dict(attributes or {})
+        xyz = np.ascontiguousarray(xyz, np.float64)
+        n = len(xyz)
+        if self._handle is None:
+            self._open(attrs)
+        pf = self._pf
+        ri = _pack_ret_info(n, pf, attrs)
+        cls = _pack_classification(pf, attrs, n)
+
+        def prep(name, dt):
+            v = attrs.get(name)
+            return None if v is None else np.ascontiguousarray(v, dt)
+
+        extra = self._pack_extra(attrs, n)
+        got = las_library().las_writer_append(
+            self._handle, n, _ptr(xyz), _ptr(prep("intensity", np.uint16)),
+            _ptr(ri), _ptr(cls), _ptr(prep("scan_angle", np.int16)),
+            _ptr(prep("user_data", np.uint8)),
+            _ptr(prep("point_source_id", np.uint16)),
+            _ptr(prep("gps_time", np.float64)),
+            _ptr(prep("rgb", np.uint16)), _ptr(prep("nir", np.uint16)),
+            _ptr(prep("wave_packet", np.uint8)), _ptr(extra))
+        if got < 0:
+            raise IOError(f"LAS chunk append failed ({got}): {self._path}")
+        self.n_written += int(got)
+        return int(got)
+
+    def close(self):
+        from ..native import las_library
+        if self._handle is None:
+            # zero chunks written: emit a valid empty cloud
+            self._open({})
+        h, self._handle = self._handle, None
+        rc = las_library().las_writer_close(h)
+        if rc != 0:
+            raise IOError(f"LAS writer close failed ({rc}): {self._path}")
+
+    def abort(self):
+        from ..native import las_library
+        if self._handle is not None:
+            h, self._handle = self._handle, None
+            las_library().las_writer_abort(h)
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, et, ev, tb):
+        if et is None:
+            self.close()
+        else:
+            self.abort()
+        return False
+
+
 def write_las_v2(path: str, xyz: np.ndarray, attributes: dict | None = None,
                  point_format: int | None = None,
                  vlrs: list | None = None,
@@ -377,106 +545,16 @@ def write_las_v2(path: str, xyz: np.ndarray, attributes: dict | None = None,
                  scale=None) -> bool:
     """Write any point format 0-10.  Attributes not in the standard set
     are packed as extra bytes with an auto-generated LASF_Spec record-4
-    descriptor VLR, so arbitrary per-point attributes round-trip."""
-    attrs = dict(attributes or {})
+    descriptor VLR, so arbitrary per-point attributes round-trip.
+    One open -> append -> close cycle of `LasChunkWriter`."""
     xyz = np.ascontiguousarray(xyz, np.float64)
-    n = len(xyz)
-    vlrs = list(vlrs or [])
-
-    if point_format is None:
-        has_gps = "gps_time" in attrs
-        has_rgb = "rgb" in attrs
-        point_format = {(False, False): 0, (True, False): 1,
-                        (False, True): 2, (True, True): 3}[
-            (has_gps, has_rgb)]
-    pf = point_format
-
-    # non-standard attributes -> extra bytes
-    custom = {k: np.asarray(v) for k, v in attrs.items()
-              if k not in _STD_ATTRS}
-    if extra_descriptors is None:
-        extra_descriptors = []
-        for name, v in custom.items():
-            if v.dtype == bool:
-                v = v.astype(np.uint8)
-                custom[name] = v
-            code = _EB_CODES.get(np.dtype(v.dtype))
-            if code is None:
-                raise ValueError(f"cannot encode attribute {name!r} dtype "
-                                 f"{v.dtype} as LAS extra bytes")
-            extra_descriptors.append(ExtraBytesDescriptor(name, code))
-    if extra_descriptors:
-        order = [d.name for d in extra_descriptors]
-        eb_len = sum(d.nbytes for d in extra_descriptors)
-        extra = np.zeros((n, eb_len), np.uint8)
-        off = 0
-        for d in extra_descriptors:
-            v = custom.get(d.name)
-            if v is None and "extra_bytes" not in attrs:
-                raise ValueError(f"descriptor {d.name!r} has no attribute")
-            raw = np.ascontiguousarray(
-                v.astype(d.dtype) if d.dtype is not None else v)
-            extra[:, off:off + d.nbytes] = \
-                raw.view(np.uint8).reshape(n, d.nbytes)
-            off += d.nbytes
-        vlrs.append(Vlr("LASF_Spec", 4,
-                        b"".join(d.pack() for d in extra_descriptors),
-                        "extra bytes"))
-        del order
-        eb = eb_len
-    elif "extra_bytes" in attrs:
-        extra = np.ascontiguousarray(attrs["extra_bytes"], np.uint8)
-        eb = extra.shape[1]
-    else:
-        extra, eb = None, 0
-
-    ri = _pack_ret_info(n, pf, attrs)
-    cls = _pack_classification(pf, attrs, n)
-
-    def prep(name, dt, shape_cols=None):
-        v = attrs.get(name)
-        if v is None:
-            return None
-        return np.ascontiguousarray(v, dt)
-
-    intensity = prep("intensity", np.uint16)
-    scan_angle = prep("scan_angle", np.int16)
-    user_data = prep("user_data", np.uint8)
-    psid = prep("point_source_id", np.uint16)
-    gps = prep("gps_time", np.float64)
-    rgb = prep("rgb", np.uint16)
-    nir = prep("nir", np.uint16)
-    wave = prep("wave_packet", np.uint8)
-
-    n_vlr = len(vlrs)
-    if n_vlr:
-        uid = np.zeros((n_vlr, 16), np.uint8)
-        rid = np.zeros(n_vlr, np.uint16)
-        desc = np.zeros((n_vlr, 32), np.uint8)
-        plens = np.zeros(n_vlr, np.uint64)
-        isev = np.zeros(n_vlr, np.uint8)
-        payload = b"".join(v.payload for v in vlrs)
-        for i, v in enumerate(vlrs):
-            u = v.user_id.encode()[:16]
-            uid[i, :len(u)] = np.frombuffer(u, np.uint8)
-            d = v.description.encode()[:32]
-            desc[i, :len(d)] = np.frombuffer(d, np.uint8)
-            rid[i] = v.record_id
-            plens[i] = len(v.payload)
-            isev[i] = 1 if v.is_evlr else 0
-        payload_arr = np.frombuffer(payload, np.uint8).copy() \
-            if payload else np.zeros(0, np.uint8)
-    else:
-        uid = rid = desc = plens = isev = payload_arr = None
-
-    scale_arr = None if scale is None \
-        else np.ascontiguousarray(scale, np.float64)
-    rc = _lib().las_write_points_v2(
-        path.encode(), n, pf, _ptr(xyz), _ptr(intensity), _ptr(ri),
-        _ptr(cls), _ptr(scan_angle), _ptr(user_data), _ptr(psid), _ptr(gps),
-        _ptr(rgb), _ptr(nir), _ptr(wave), _ptr(extra), eb,
-        n_vlr, _ptr(uid), _ptr(rid), _ptr(desc), _ptr(plens),
-        _ptr(payload_arr), _ptr(isev), _ptr(scale_arr))
-    if rc != 0:
-        raise IOError(f"LAS write failed ({rc}): {path}")
+    w = LasChunkWriter(path, point_format=point_format, vlrs=vlrs,
+                       extra_descriptors=extra_descriptors, scale=scale,
+                       force_v14=len(xyz) > 0xFFFFFFFF)
+    try:
+        w.write_chunk(xyz, attributes)
+    except Exception:
+        w.abort()
+        raise
+    w.close()
     return True

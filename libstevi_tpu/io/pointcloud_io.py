@@ -330,6 +330,29 @@ def open_point_cloud_stream(path: str):
     return InMemoryStream(open_point_cloud(path))
 
 
+def write_point_cloud_stream(path: str, stream,
+                             chunk_size: int = 1 << 20) -> bool:
+    """Stream a point-cloud source to disk in bounded memory.  LAS
+    destinations use the native chunked writer (`las_stream.
+    LasChunkWriter` — header backpatched at close), so a larger-than-RAM
+    source streams end-to-end; other codecs materialize (their writers
+    are single-shot) — documented trade-off, not silent."""
+    ext = os.path.splitext(path)[1].lower()
+    if ext == ".las":
+        from .las_stream import LasChunkWriter
+        with LasChunkWriter(path) as w:
+            for ch in stream.chunks(chunk_size):
+                xyz = ch.pop("xyz")
+                w.write_chunk(xyz, ch)
+        return True
+    chunks = list(stream.chunks(chunk_size))
+    cloud = PointCloud(
+        np.concatenate([c["xyz"] for c in chunks]),
+        {k: np.concatenate([c[k] for c in chunks])
+         for k in chunks[0] if k != "xyz"})
+    return save_point_cloud(path, cloud)
+
+
 def open_point_cloud(path: str) -> PointCloud:
     """Format-sniffing reader (`openPointCloud`, `pointcloud_io.h:815`)."""
     ext = os.path.splitext(path)[1].lower()

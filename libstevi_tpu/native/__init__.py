@@ -87,6 +87,17 @@ def _configure_las(lib: ctypes.CDLL):
         + [ctypes.c_void_p] * 12 + [ctypes.c_int, ctypes.c_int] \
         + [ctypes.c_void_p] * 7
     lib.las_write_points_v2.restype = ctypes.c_int
+    lib.las_writer_open.argtypes = [
+        ctypes.c_char_p, ctypes.c_int, ctypes.c_int, ctypes.c_int] \
+        + [ctypes.c_void_p] * 6 + [ctypes.c_void_p, ctypes.c_int]
+    lib.las_writer_open.restype = ctypes.c_void_p
+    lib.las_writer_append.argtypes = [
+        ctypes.c_void_p, ctypes.c_longlong] + [ctypes.c_void_p] * 12
+    lib.las_writer_append.restype = ctypes.c_longlong
+    lib.las_writer_close.argtypes = [ctypes.c_void_p]
+    lib.las_writer_close.restype = ctypes.c_int
+    lib.las_writer_abort.argtypes = [ctypes.c_void_p]
+    lib.las_writer_abort.restype = None
     lib.las_read_points.argtypes = [
         ctypes.c_char_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
         ctypes.c_void_p, ctypes.c_void_p]

@@ -281,99 +281,95 @@ long long las_read_points_chunk(
 
 // --- writer -----------------------------------------------------------------
 //
-// Single-pass writer for any point format 0-10 with optional extra bytes
-// and VLR/EVLR blocks.  VLR payloads arrive concatenated in `vlr_data`
-// with per-record metadata arrays; records with is_evlr[i] != 0 are
-// written as LAS 1.4 EVLRs after the points.  Writes version 1.2 headers
-// unless EVLRs / new formats (6-10) / >4G points force 1.4.
+// Chunk-streaming writer for any point format 0-10 with optional extra
+// bytes and VLR/EVLR blocks: `las_writer_open` writes a placeholder
+// header + header VLRs, `las_writer_append` packs and appends SOA
+// chunks in bounded memory, `las_writer_close` writes the EVLRs and
+// backpatches the header (point count, bounds, offset).  The coordinate
+// offset is fixed from the FIRST chunk's minima (records are quantized
+// as they stream); the int32 coordinate range around it spans
+// +-2^31 * scale, so later chunks merely need to stay within ~200 km of
+// the first at the default 1e-4 scale.  VLR payloads arrive concatenated
+// in `vlr_data` with per-record metadata arrays; records with
+// is_evlr[i] != 0 are written as LAS 1.4 EVLRs after the points.
+// Headers are version 1.2 unless EVLRs / formats 6-10 / `force_v14`.
+// The one-shot `las_write_points_v2` is open + one append + close.
 
-int las_write_points_v2(
-        const char* path, long long n, int point_format,
-        const double* xyz, const uint16_t* intensity,
-        const uint16_t* ret_info, const uint8_t* classification,
-        const int16_t* scan_angle, const uint8_t* user_data,
-        const uint16_t* point_source_id, const double* gps_time,
-        const uint16_t* rgb, const uint16_t* nir, const uint8_t* wave,
-        const uint8_t* extra, int extra_len,
+namespace {
+
+struct EvlrRec {
+    unsigned char head[60];
+    std::vector<unsigned char> payload;
+};
+
+struct LasWriter {
+    std::FILE* f = nullptr;
+    int pf = 0;
+    int extra_len = 0;
+    uint16_t rec = 0;
+    FmtLayout L{};
+    bool v14 = false;
+    uint16_t header_size = 227;
+    uint64_t off_pts = 0;
+    int n_hdr_vlr = 0;
+    double scale[3] = {1e-4, 1e-4, 1e-4};
+    double offset[3] = {0, 0, 0};
+    bool offset_set = false;
+    double mins[3] = {1e300, 1e300, 1e300};
+    double maxs[3] = {-1e300, -1e300, -1e300};
+    uint64_t n = 0;
+    std::vector<EvlrRec> evlrs;
+};
+
+}  // namespace
+
+void* las_writer_open(
+        const char* path, int point_format, int extra_len,
         int n_vlr, const char* vlr_user_ids, const uint16_t* vlr_record_ids,
         const char* vlr_descriptions, const uint64_t* vlr_payload_lens,
         const uint8_t* vlr_data, const uint8_t* vlr_is_evlr,
-        const double* scale_in) {
-    if (point_format < 0 || point_format > 10) return -3;
-    if (extra_len < 0) return -3;
-    const FmtLayout L = layout_for(point_format);
-    const uint16_t rec = kFmtLen[point_format] + extra_len;
-    const int std_len = kFmtLen[point_format];
+        const double* scale_in, int force_v14) {
+    if (point_format < 0 || point_format > 10 || extra_len < 0)
+        return nullptr;
+    LasWriter* w = new LasWriter();
+    w->pf = point_format;
+    w->extra_len = extra_len;
+    w->L = layout_for(point_format);
+    w->rec = kFmtLen[point_format] + extra_len;
+    if (scale_in && scale_in[0] > 0)
+        std::memcpy(w->scale, scale_in, 24);
 
     bool any_evlr = false;
-    uint64_t vlr_total = 0, evlr_total = 0;
-    int n_hdr_vlr = 0;
+    uint64_t vlr_total = 0;
     for (int i = 0; i < n_vlr; i++) {
-        if (vlr_is_evlr && vlr_is_evlr[i]) {
-            any_evlr = true;
-            evlr_total += 60 + vlr_payload_lens[i];
-        } else {
-            n_hdr_vlr++;
-            vlr_total += 54 + vlr_payload_lens[i];
-        }
+        if (vlr_is_evlr && vlr_is_evlr[i]) any_evlr = true;
+        else { w->n_hdr_vlr++; vlr_total += 54 + vlr_payload_lens[i]; }
     }
-    const bool v14 = any_evlr || point_format >= 6
-        || (uint64_t)n > 0xFFFFFFFFull;
-    const uint16_t header_size = v14 ? 375 : 227;
+    w->v14 = any_evlr || point_format >= 6 || force_v14;
+    w->header_size = w->v14 ? 375 : 227;
+    w->off_pts = w->header_size + vlr_total;
 
-    double mins[3] = {1e300, 1e300, 1e300};
-    double maxs[3] = {-1e300, -1e300, -1e300};
-    for (long long i = 0; i < n; i++)
-        for (int a = 0; a < 3; a++) {
-            double v = xyz[3 * i + a];
-            if (v < mins[a]) mins[a] = v;
-            if (v > maxs[a]) maxs[a] = v;
-        }
-    if (n == 0)
-        for (int a = 0; a < 3; a++) { mins[a] = 0; maxs[a] = 0; }
-    double scale[3] = {1e-4, 1e-4, 1e-4};
-    if (scale_in && scale_in[0] > 0)
-        std::memcpy(scale, scale_in, 24);
-    double offset[3] = {mins[0], mins[1], mins[2]};
-
-    std::FILE* f = std::fopen(path, "wb");
-    if (!f) return -1;
-    std::vector<unsigned char> h(header_size, 0);
-    std::memcpy(h.data(), "LASF", 4);
-    h[24] = 1; h[25] = v14 ? 4 : 2;
-    std::memcpy(h.data() + 94, &header_size, 2);
-    uint32_t off_pts = header_size + (uint32_t)vlr_total;
-    std::memcpy(h.data() + 96, &off_pts, 4);
-    uint32_t nv = (uint32_t)n_hdr_vlr;
-    std::memcpy(h.data() + 100, &nv, 4);
-    h[104] = (uint8_t)point_format;
-    std::memcpy(h.data() + 105, &rec, 2);
-    uint32_t n32 = ((uint64_t)n > 0xFFFFFFFFull || point_format >= 6)
-        ? 0u : (uint32_t)n;
-    std::memcpy(h.data() + 107, &n32, 4);
-    std::memcpy(h.data() + 111, &n32, 4);   // legacy points-by-return[0]
-    std::memcpy(h.data() + 131, scale, 24);
-    std::memcpy(h.data() + 155, offset, 24);
-    double mm[6] = {maxs[0], mins[0], maxs[1], mins[1], maxs[2], mins[2]};
-    std::memcpy(h.data() + 179, mm, 48);
-    if (v14) {
-        uint64_t evlr_start = off_pts + (uint64_t)n * rec;
-        uint32_t ne = (uint32_t)(n_vlr - n_hdr_vlr);
-        std::memcpy(h.data() + 235, &evlr_start, 8);
-        std::memcpy(h.data() + 243, &ne, 4);
-        uint64_t n64 = (uint64_t)n;
-        std::memcpy(h.data() + 247, &n64, 8);
-        std::memcpy(h.data() + 255, &n64, 8);  // points-by-return[0]
-    }
-    if (std::fwrite(h.data(), 1, header_size, f) != header_size) {
-        std::fclose(f); return -5;
+    w->f = std::fopen(path, "wb");
+    if (!w->f) { delete w; return nullptr; }
+    std::vector<unsigned char> h(w->header_size, 0);
+    if (std::fwrite(h.data(), 1, w->header_size, w->f) != w->header_size) {
+        std::fclose(w->f); delete w; return nullptr;
     }
 
-    // header VLRs
+    // header VLRs now; EVLR records buffered for close
     uint64_t data_off = 0;
     for (int i = 0; i < n_vlr; i++) {
         uint64_t plen = vlr_payload_lens[i];
-        if (!(vlr_is_evlr && vlr_is_evlr[i])) {
+        if (vlr_is_evlr && vlr_is_evlr[i]) {
+            EvlrRec e;
+            std::memset(e.head, 0, 60);
+            std::memcpy(e.head + 2, vlr_user_ids + 16 * i, 16);
+            std::memcpy(e.head + 18, &vlr_record_ids[i], 2);
+            std::memcpy(e.head + 20, &plen, 8);
+            std::memcpy(e.head + 28, vlr_descriptions + 32 * i, 32);
+            e.payload.assign(vlr_data + data_off, vlr_data + data_off + plen);
+            w->evlrs.push_back(std::move(e));
+        } else {
             unsigned char vh[54];
             std::memset(vh, 0, sizeof(vh));
             std::memcpy(vh + 2, vlr_user_ids + 16 * i, 16);
@@ -381,20 +377,48 @@ int las_write_points_v2(
             uint16_t l16 = (uint16_t)plen;
             std::memcpy(vh + 20, &l16, 2);
             std::memcpy(vh + 22, vlr_descriptions + 32 * i, 32);
-            if (std::fwrite(vh, 1, 54, f) != 54
-                    || std::fwrite(vlr_data + data_off, 1, plen, f) != plen) {
-                std::fclose(f); return -5;
+            if (std::fwrite(vh, 1, 54, w->f) != 54
+                    || std::fwrite(vlr_data + data_off, 1, plen, w->f)
+                       != plen) {
+                std::fclose(w->f); delete w; return nullptr;
             }
         }
         data_off += plen;
     }
+    return w;
+}
 
-    // points
+long long las_writer_append(
+        void* handle, long long n,
+        const double* xyz, const uint16_t* intensity,
+        const uint16_t* ret_info, const uint8_t* classification,
+        const int16_t* scan_angle, const uint8_t* user_data,
+        const uint16_t* point_source_id, const double* gps_time,
+        const uint16_t* rgb, const uint16_t* nir, const uint8_t* wave,
+        const uint8_t* extra) {
+    LasWriter* w = (LasWriter*)handle;
+    if (!w || !w->f || !xyz) return -3;
+    const FmtLayout& L = w->L;
+    const int std_len = kFmtLen[w->pf];
+    const int extra_len = w->extra_len;
+    const uint16_t rec = w->rec;
+
+    for (long long i = 0; i < n; i++)
+        for (int a = 0; a < 3; a++) {
+            double v = xyz[3 * i + a];
+            if (v < w->mins[a]) w->mins[a] = v;
+            if (v > w->maxs[a]) w->maxs[a] = v;
+        }
+    if (!w->offset_set && n > 0) {
+        for (int a = 0; a < 3; a++) w->offset[a] = w->mins[a];
+        w->offset_set = true;
+    }
+
     std::vector<unsigned char> p(rec);
     for (long long i = 0; i < n; i++) {
         std::memset(p.data(), 0, rec);
         for (int a = 0; a < 3; a++) {
-            double v = (xyz[3 * i + a] - offset[a]) / scale[a];
+            double v = (xyz[3 * i + a] - w->offset[a]) / w->scale[a];
             int32_t q = (int32_t)(v < 0 ? v - 0.5 : v + 0.5);
             std::memcpy(p.data() + 4 * a, &q, 4);
         }
@@ -403,7 +427,7 @@ int las_write_points_v2(
             if (L.new_fmt) std::memcpy(p.data() + L.ret_off, &ret_info[i], 2);
             else p[L.ret_off] = (uint8_t)ret_info[i];
         } else {
-            p[L.ret_off] = L.new_fmt ? 0x11 : 0x11;  // return 1 of 1
+            p[L.ret_off] = 0x11;  // return 1 of 1
         }
         if (classification) p[L.cls_off] = classification[i];
         if (scan_angle) {
@@ -428,30 +452,98 @@ int las_write_points_v2(
         if (extra && extra_len > 0)
             std::memcpy(p.data() + std_len, &extra[(size_t)extra_len * i],
                         extra_len);
-        if (std::fwrite(p.data(), 1, rec, f) != rec) {
-            std::fclose(f); return -5;
-        }
+        if (std::fwrite(p.data(), 1, rec, w->f) != rec) return -5;
+    }
+    w->n += (uint64_t)n;
+    return n;
+}
+
+int las_writer_close(void* handle) {
+    LasWriter* w = (LasWriter*)handle;
+    if (!w) return -3;
+    if (!w->f) { delete w; return -3; }
+    int rc = 0;
+    if (w->n > 0xFFFFFFFFull && !w->v14) rc = -8;  // needed force_v14
+
+    // EVLRs after the points
+    const uint64_t evlr_start = w->off_pts + w->n * w->rec;
+    for (const EvlrRec& e : w->evlrs) {
+        if (std::fwrite(e.head, 1, 60, w->f) != 60
+                || std::fwrite(e.payload.data(), 1, e.payload.size(), w->f)
+                   != e.payload.size())
+            rc = -5;
     }
 
-    // EVLRs
-    data_off = 0;
-    for (int i = 0; i < n_vlr; i++) {
-        uint64_t plen = vlr_payload_lens[i];
-        if (vlr_is_evlr && vlr_is_evlr[i]) {
-            unsigned char vh[60];
-            std::memset(vh, 0, sizeof(vh));
-            std::memcpy(vh + 2, vlr_user_ids + 16 * i, 16);
-            std::memcpy(vh + 18, &vlr_record_ids[i], 2);
-            std::memcpy(vh + 20, &plen, 8);
-            std::memcpy(vh + 28, vlr_descriptions + 32 * i, 32);
-            if (std::fwrite(vh, 1, 60, f) != 60
-                    || std::fwrite(vlr_data + data_off, 1, plen, f) != plen) {
-                std::fclose(f); return -5;
-            }
-        }
-        data_off += plen;
+    // backpatch the header with the final count / bounds / offset
+    double mins[3], maxs[3];
+    for (int a = 0; a < 3; a++) {
+        mins[a] = w->n ? w->mins[a] : 0.0;
+        maxs[a] = w->n ? w->maxs[a] : 0.0;
     }
-    return std::fclose(f) == 0 ? 0 : -6;
+    std::vector<unsigned char> h(w->header_size, 0);
+    std::memcpy(h.data(), "LASF", 4);
+    h[24] = 1; h[25] = w->v14 ? 4 : 2;
+    std::memcpy(h.data() + 94, &w->header_size, 2);
+    uint32_t off_pts32 = (uint32_t)w->off_pts;
+    std::memcpy(h.data() + 96, &off_pts32, 4);
+    uint32_t nv = (uint32_t)w->n_hdr_vlr;
+    std::memcpy(h.data() + 100, &nv, 4);
+    h[104] = (uint8_t)w->pf;
+    std::memcpy(h.data() + 105, &w->rec, 2);
+    uint32_t n32 = (w->n > 0xFFFFFFFFull || w->pf >= 6) ? 0u : (uint32_t)w->n;
+    std::memcpy(h.data() + 107, &n32, 4);
+    std::memcpy(h.data() + 111, &n32, 4);   // legacy points-by-return[0]
+    std::memcpy(h.data() + 131, w->scale, 24);
+    std::memcpy(h.data() + 155, w->offset, 24);
+    double mm[6] = {maxs[0], mins[0], maxs[1], mins[1], maxs[2], mins[2]};
+    std::memcpy(h.data() + 179, mm, 48);
+    if (w->v14) {
+        uint32_t ne = (uint32_t)w->evlrs.size();
+        std::memcpy(h.data() + 235, &evlr_start, 8);
+        std::memcpy(h.data() + 243, &ne, 4);
+        uint64_t n64 = w->n;
+        std::memcpy(h.data() + 247, &n64, 8);
+        std::memcpy(h.data() + 255, &n64, 8);  // points-by-return[0]
+    }
+    if (std::fseek(w->f, 0, SEEK_SET) != 0
+            || std::fwrite(h.data(), 1, w->header_size, w->f)
+               != w->header_size)
+        rc = -5;
+    if (std::fclose(w->f) != 0 && rc == 0) rc = -6;
+    delete w;
+    return rc;
+}
+
+void las_writer_abort(void* handle) {
+    LasWriter* w = (LasWriter*)handle;
+    if (!w) return;
+    if (w->f) std::fclose(w->f);
+    delete w;
+}
+
+int las_write_points_v2(
+        const char* path, long long n, int point_format,
+        const double* xyz, const uint16_t* intensity,
+        const uint16_t* ret_info, const uint8_t* classification,
+        const int16_t* scan_angle, const uint8_t* user_data,
+        const uint16_t* point_source_id, const double* gps_time,
+        const uint16_t* rgb, const uint16_t* nir, const uint8_t* wave,
+        const uint8_t* extra, int extra_len,
+        int n_vlr, const char* vlr_user_ids, const uint16_t* vlr_record_ids,
+        const char* vlr_descriptions, const uint64_t* vlr_payload_lens,
+        const uint8_t* vlr_data, const uint8_t* vlr_is_evlr,
+        const double* scale_in) {
+    void* w = las_writer_open(path, point_format, extra_len, n_vlr,
+                              vlr_user_ids, vlr_record_ids, vlr_descriptions,
+                              vlr_payload_lens, vlr_data, vlr_is_evlr,
+                              scale_in, (uint64_t)n > 0xFFFFFFFFull);
+    if (!w) return -1;
+    long long got = las_writer_append(w, n, xyz, intensity, ret_info,
+                                      classification, scan_angle, user_data,
+                                      point_source_id, gps_time, rgb, nir,
+                                      wave, extra);
+    if (got < 0) { las_writer_abort(w); return (int)got; }
+    return las_writer_close(w);
 }
 
 // --- v1 compatibility shims -------------------------------------------------

@@ -502,3 +502,60 @@ class TestStreamingInterface:
         p = str(tmp_path / "s.pfm")
         write_pfm(p, img, scale=-0.25)
         np.testing.assert_allclose(read_pfm(p), img, rtol=1e-6)
+
+
+class TestChunkedLasWriter:
+    def test_multichunk_equals_monolithic(self, rng, tmp_path):
+        """Streamed multi-chunk write reads back identical to the
+        one-shot writer (same values; header count/bounds backpatched)."""
+        from libstevi_tpu.io.las_stream import LasChunkWriter, write_las_v2
+        from libstevi_tpu.io.las_stream import LasReader
+        n = 1000
+        xyz = rng.uniform(-50, 50, (n, 3))
+        attrs = {"intensity": rng.integers(0, 9999, n).astype(np.uint16),
+                 "gps_time": rng.uniform(0, 1e5, n),
+                 "temperature": rng.uniform(-20, 40, n).astype(np.float32)}
+        mono = str(tmp_path / "mono.las")
+        write_las_v2(mono, xyz, attrs)
+        chunked = str(tmp_path / "chunked.las")
+        with LasChunkWriter(chunked) as w:
+            for s in range(0, n, 128):
+                e = min(s + 128, n)
+                w.write_chunk(xyz[s:e], {k: v[s:e] for k, v in attrs.items()})
+        ra, rb = LasReader(mono), LasReader(chunked)
+        assert rb.n_points == n
+        ca = ra.read_chunk(0, n)
+        cb = rb.read_chunk(0, n)
+        # offsets differ (global mins vs first-chunk mins) but decoded
+        # values agree to quantization
+        np.testing.assert_allclose(cb["xyz"], ca["xyz"], atol=2e-4)
+        np.testing.assert_array_equal(cb["intensity"], ca["intensity"])
+        np.testing.assert_allclose(cb["temperature"], ca["temperature"],
+                                   rtol=1e-6)
+        # header bounds are the true bounds
+        np.testing.assert_allclose(rb.header.mins, xyz.min(0), atol=2e-4)
+        np.testing.assert_allclose(rb.header.maxs, xyz.max(0), atol=2e-4)
+
+    def test_stream_to_stream(self, rng, tmp_path):
+        """open_point_cloud_stream -> mapper -> write_point_cloud_stream
+        round-trips in bounded memory (the io_map big-file path)."""
+        from libstevi_tpu.io import save_point_cloud, open_point_cloud
+        from libstevi_tpu.io.pointcloud_io import (
+            AttributeMapperStream, open_point_cloud_stream,
+            write_point_cloud_stream)
+        n = 500
+        c = PointCloud(rng.uniform(-5, 5, (n, 3)),
+                       {"intensity": rng.integers(0, 99, n).astype(np.uint16)})
+        src = str(tmp_path / "s.las")
+        dst = str(tmp_path / "d.las")
+        save_point_cloud(src, c)
+        st = AttributeMapperStream(open_point_cloud_stream(src),
+                                   {"x": "y", "y": "x"})
+        write_point_cloud_stream(dst, st, chunk_size=100)
+        back = open_point_cloud(dst)
+        np.testing.assert_allclose(back.positions[:, 0], c.positions[:, 1],
+                                   atol=1e-3)
+        np.testing.assert_allclose(back.positions[:, 1], c.positions[:, 0],
+                                   atol=1e-3)
+        np.testing.assert_array_equal(back.attributes["intensity"],
+                                      c.attributes["intensity"])
