@@ -231,6 +231,24 @@ def unfold_based_cost_volume(func: MatchingFunction, img_l: jnp.ndarray,
         from .box_backend import supports_box
         backend = "box" if (supports_box(func)
                             and not isinstance(search, SearchOffset2)) else "unfold"
+    if backend == "box_pallas":
+        # single fused kernel (box_pallas.box_cost_volume_fused): inputs
+        # + window statistics stay VMEM-resident and only the volume is
+        # written.  Falls back to the scan box path out of scope
+        # (non-dot family, offset searches, L2R, too-tall images).
+        from .box_pallas import box_cost_volume_fused
+        dw = None
+        if isinstance(search, int):
+            dw = search
+        elif isinstance(search, SearchOffset1) and search.lower == 0:
+            dw = search.upper + 1
+        cvf = None
+        if dw is not None and direction == DispDirection.RIGHT_TO_LEFT:
+            cvf = box_cost_volume_fused(func, img_l, img_r, h_radius,
+                                        v_radius, dw, cv_dtype)
+        if cvf is not None:
+            return cvf if layout == "dhw" else jnp.moveaxis(cvf, 1, -1)
+        backend = "box"
     if backend == "box":
         from .box_backend import box_cost_volume
         return box_cost_volume(func, img_l, img_r, h_radius, v_radius,

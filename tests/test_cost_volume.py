@@ -290,3 +290,26 @@ class TestBoxPallasFused:
                                         interpret=True)
             np.testing.assert_allclose(np.asarray(got), want,
                                        rtol=1e-4, atol=1e-5)
+
+
+def test_box_pallas_backend_dispatch(rng):
+    """backend='box_pallas' through the umbrella entry == the scan box
+    path (bit-comparable up to float reassociation), incl. the fallback
+    for an offset search."""
+    from libstevi_tpu.core.search import SearchOffset1
+    H2, W2, D2 = 32, 40, 12
+    l = jnp.asarray(rng.uniform(0.1, 1, (H2, W2)).astype(np.float32))
+    r = jnp.asarray(rng.uniform(0.1, 1, (H2, W2)).astype(np.float32))
+    want = unfold_based_cost_volume(MatchingFunction.ZNCC, l, r, 2, 2, D2,
+                                    backend="box")
+    got = unfold_based_cost_volume(MatchingFunction.ZNCC, l, r, 2, 2, D2,
+                                   backend="box_pallas")
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-5, atol=2e-5)
+    # offset search is out of the fused kernel's scope -> scan fallback
+    so = SearchOffset1(2, D2 - 1)
+    want = unfold_based_cost_volume(MatchingFunction.ZNCC, l, r, 2, 2, so,
+                                    backend="box")
+    got = unfold_based_cost_volume(MatchingFunction.ZNCC, l, r, 2, 2, so,
+                                   backend="box_pallas")
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
