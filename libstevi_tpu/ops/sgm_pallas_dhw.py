@@ -732,7 +732,6 @@ def sgm_rows_shard_pass_dhw(cv_p: jnp.ndarray, acc, carries, i0, *,
 def sgm_cols_shard_pass_dhw(cv_p: jnp.ndarray, acc, *, H1: int, W1: int,
                             ml: int, W_pout: int, P1: float, P2: float,
                             Pout: float, reverse: bool,
-                            wta_radius: int | None = None,
                             vmem_budget: int = 12 * 1024 * 1024,
                             interpret: bool = False):
     """One shard's horizontal pass (the scan axis W is not sharded, so
