@@ -33,6 +33,21 @@ class TestStereoMatchCli:
         rep = _capture(capsys)
         assert rep["prop_good_2.0"] > 0.97
 
+    def test_sgm16_on_parity_pair(self, tmp_path, capsys):
+        """16-direction end-to-end through the CLI reaches the same
+        accuracy class as 8 directions on the fixture."""
+        import stereo_match
+        rc = stereo_match.main([
+            os.path.join(DATA, "left_small.stevimg"),
+            os.path.join(DATA, "right_small.stevimg"),
+            "-o", str(tmp_path / "d16.stevimg"), "-d", "32", "-m", "zncc",
+            "--matcher", "sgm", "--sgm-dirs", "16", "--refine", "parabola",
+            "--radius", "2",
+            "--gt", os.path.join(DATA, "gt_small.stevimg")])
+        assert rc in (0, None)
+        rep = _capture(capsys)
+        assert rep["prop_good_2.0"] > 0.97
+
 
 class TestIoPointcloudCli:
     def test_info_and_convert(self, tmp_path, capsys, rng):

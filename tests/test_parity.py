@@ -151,3 +151,27 @@ def test_patchmatch_on_pair(pair):
         v_radius=3, n_iter=5), np.float32)
     pg = prop_good(disp, gt, 2.0)
     assert pg > 0.85, pg
+
+
+def test_covering_statistic_on_pair(pair):
+    """Left/right covering proportions (`statistics/stereo_covering.h:
+    31,88`) on matched L/R disparities of the fixture: an un-occluded
+    smooth warp covers nearly everywhere."""
+    from libstevi_tpu.statistics import compute_covering_proportion
+    from libstevi_tpu.core import DispDirection
+    L, R, gt = pair
+    cv = unfold_based_cost_volume(MatchingFunction.ZNCC, L, R, 2, 2, 32)
+    st = MATCH_TRAITS[MatchingFunction.ZNCC].strategy
+    idx, tcv = sgm_wta_truncated(cv, 0.1, 0.5, n_directions=8, strategy=st,
+                                 h_radius=2, v_radius=2)
+    disp_r = jnp.asarray(np.asarray(idx, np.float32))
+    # the left-image disparity comes from the direction-flipped matching
+    cv2 = unfold_based_cost_volume(MatchingFunction.ZNCC, L, R, 2, 2, 32,
+                                   direction=DispDirection.LEFT_TO_RIGHT)
+    idx2, _ = sgm_wta_truncated(cv2, 0.1, 0.5, n_directions=8, strategy=st,
+                                h_radius=2, v_radius=2)
+    disp_l = jnp.asarray(np.asarray(idx2, np.float32))
+    # columns shifted out of frame (disparity ~15 of W=128) are
+    # legitimately uncovered: expected covering ~(W - disp)/W ~ 0.85
+    prop = float(compute_covering_proportion(disp_l, disp_r))
+    assert prop > 0.75, prop
