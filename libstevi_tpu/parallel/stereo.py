@@ -133,8 +133,10 @@ def distributed_dense_stereo_step(mesh: Mesh, func: MatchingFunction,
         return jax.vmap(pair_fn)(imgs_l, imgs_r)
 
     spec = P("batch", "tile", None)
+    # check_vma=False: the fused Pallas SGM kernels' outputs defeat the
+    # varying-manual-axes inference (same as distributed_full_step)
     inner = jax.jit(shard_map(local_fn, mesh=mesh, in_specs=(spec, spec),
-                              out_specs=spec))
+                              out_specs=spec, check_vma=False))
     return _pad_to_mesh(inner, mesh.shape["batch"], mesh.shape["tile"])
 
 

@@ -302,3 +302,26 @@ def test_distributed_fused_sgm_dhw_medium_shape_8dev(rng):
         check_vma=False)
     got = np.asarray(jax.jit(f)(cv))
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+
+def test_dense_stereo_step_8dir_batch_sharded(rng):
+    """distributed_dense_stereo_step with the fused 8-direction Pallas
+    path builds and matches single-chip (the vma checker cannot infer
+    the Pallas outputs' sharding — regression for the check_vma gate)."""
+    mesh = make_stereo_mesh(MeshSpec(batch=2, tile=2), jax.devices()[:4])
+    B = 2
+    ls = jnp.asarray(rng.uniform(0.1, 1, (B, H, W)).astype(np.float32))
+    rs = jnp.asarray(rng.uniform(0.1, 1, (B, H, W)).astype(np.float32))
+    fn = distributed_dense_stereo_step(mesh, MatchingFunction.ZNCC,
+                                       1, 1, D, 0.1, 0.5, n_directions=8)
+    got = np.asarray(fn(ls, rs))
+    for b in range(B):
+        cv = unfold_based_cost_volume(MatchingFunction.ZNCC, ls[b], rs[b],
+                                      1, 1, D, backend="box")
+        sgm = sgm_cost_volume(cv, 0.1, 0.5, n_directions=8,
+                              strategy=ExtractionStrategy.SCORE,
+                              backend="xla")
+        want = np.asarray(extract_selected_index(
+            sgm, ExtractionStrategy.SCORE))
+        exact = (got[b] == want).mean()
+        assert exact > 0.99, exact
