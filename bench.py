@@ -14,10 +14,41 @@ import time
 import numpy as np
 
 
+def _device_healthy(timeout_s: float = 180.0) -> bool:
+    """The axon tunnel can go fully down (even a 128x128 matmul hangs
+    forever); probe it in a daemon thread so a dead device yields an
+    honest error record instead of a silent hang."""
+    import threading
+    ok = []
+
+    def probe():
+        import jax.numpy as jnp
+        x = jnp.ones((128, 128), jnp.bfloat16)
+        ok.append(float((x @ x).sum()))
+
+    t = threading.Thread(target=probe, daemon=True)
+    t.start()
+    t.join(timeout_s)
+    return bool(ok)
+
+
 def main():
     import jax
     import jax.numpy as jnp
     from __graft_entry__ import entry
+
+    if not _device_healthy():
+        print(json.dumps({
+            "metric": "dense ZNCC+SGM8+WTA+subpixel 480x640 D=120 "
+                      "frames/s/chip",
+            "value": 0.0,
+            "unit": "frames/s",
+            "vs_baseline": 0.0,
+            "error": "TPU unreachable (tunnel hang on a trivial matmul); "
+                     "no measurement taken — last good record: "
+                     "~204 fps bf16 (round-2 session)",
+        }))
+        return
 
     fn, args = entry()
 
