@@ -559,3 +559,36 @@ class TestChunkedLasWriter:
                                    atol=1e-3)
         np.testing.assert_array_equal(back.attributes["intensity"],
                                       c.attributes["intensity"])
+
+    def test_chunked_fmt7_evlr(self, rng, tmp_path):
+        """Chunked writer with a new format (7: rgb+gps, LAS 1.4), an
+        EVLR (buffered at open, written after the points at close) and
+        extra bytes — all survive the multi-chunk round trip."""
+        from libstevi_tpu.io.las_stream import (LasChunkWriter, LasReader,
+                                                Vlr)
+        n = 300
+        xyz = rng.uniform(-10, 10, (n, 3))
+        attrs = {"gps_time": rng.uniform(0, 1e4, n),
+                 "rgb": rng.integers(0, 65535, (n, 3)).astype(np.uint16),
+                 "score": rng.uniform(0, 1, n).astype(np.float64)}
+        path = str(tmp_path / "c7.las")
+        vlrs = [Vlr("MyApp", 7, b"hdr payload", "in header"),
+                Vlr("MyApp", 9, b"E" * 4096, "after points", is_evlr=True)]
+        with LasChunkWriter(path, point_format=7, vlrs=vlrs) as w:
+            for s in range(0, n, 77):
+                e = min(s + 77, n)
+                w.write_chunk(xyz[s:e], {k: v[s:e] for k, v in attrs.items()})
+        r = LasReader(path)
+        assert r.header.point_format == 7
+        assert r.header.version == (1, 4)
+        assert r.n_points == n
+        ch = r.read_chunk(0, n)
+        np.testing.assert_allclose(ch["xyz"], xyz, atol=2e-4)
+        np.testing.assert_array_equal(ch["rgb"], attrs["rgb"])
+        np.testing.assert_allclose(ch["score"], attrs["score"], rtol=1e-12)
+        evs = [v for v in r.header.vlrs if v.is_evlr
+               and v.user_id == "MyApp"]
+        assert len(evs) == 1 and len(evs[0].payload) == 4096
+        hdrs = [v for v in r.header.vlrs if not v.is_evlr
+                and v.user_id == "MyApp"]
+        assert hdrs and hdrs[0].payload == b"hdr payload"
