@@ -329,11 +329,17 @@ def isolate_checkerboard(candidates, tol: float = 0.35,
         return dd < dir_tol
 
     def find(p, step, ref_dir):
+        # skip already-assigned candidates HERE (not at the call site):
+        # with NMS ties or perspective-compressed steps the nearest
+        # in-tolerance candidate may be taken, and rejecting the cell
+        # outright would never consider the next-nearest free one
         dd = np.linalg.norm(pts - p, axis=1)
         order = np.argsort(dd)
         for k in order[:4]:
             if dd[k] >= tol * step:
                 break
+            if int(k) in used:
+                continue
             if dir_ok(k, ref_dir):
                 return int(k)
         return -1
@@ -357,7 +363,7 @@ def isolate_checkerboard(candidates, tol: float = 0.35,
                 v = da * v1 + db * v2
             step = np.linalg.norm(v)
             k = find(p0 + v, step, ref_dir)
-            if k >= 0 and k not in used:
+            if k >= 0:
                 grid[key] = k
                 used.add(k)
                 frontier.append(key)

@@ -124,13 +124,19 @@ def detect_hex_targets(image, threshold_min: float = 0.3,
 
     gains = np.asarray([red_gain, green_gain, blue_gain], np.float32)
 
-    cents, masks, colors = [], [], []
+    # one argsort pass gathers every component's pixel indices — the
+    # per-label `lab == c` full-image rescan is O(k*H*W) and a noisy
+    # image yields thousands of components
+    flat_order = np.argsort(lab.ravel(), kind="stable")
+    starts = np.searchsorted(lab.ravel()[flat_order], np.arange(k + 1))
+
+    cents, idxs, colors = [], [], []
     for c in range(k):
-        sel = lab == c
-        area = int(sel.sum())
+        span = flat_order[starts[c]:starts[c + 1]]
+        area = len(span)
         if area < min_area or area > max_area:
             continue
-        iy, ix = np.nonzero(sel)
+        iy, ix = np.divmod(span, W)
         pts = np.stack([iy, ix]).astype(np.float64)
         ctr = pts.mean(1)
         centered = pts - ctr[:, None]
@@ -142,7 +148,7 @@ def detect_hex_targets(image, threshold_min: float = 0.3,
             continue
         mean_rgb = img[iy, ix].mean(0) * gains
         cents.append(ctr)
-        masks.append(sel)
+        idxs.append((iy, ix))
         colors.append(int(np.argmax(mean_rgb)))
 
     n = len(cents)
@@ -172,7 +178,12 @@ def detect_hex_targets(image, threshold_min: float = 0.3,
         res = A @ params - 1.0
         if np.abs(res).max() > hex_rel_res_threshold:
             continue
-        if params[2] < (params[1] / 2) ** 2:   # not an ellipse (:377)
+        # ellipse test for a x^2 + b xy + c y^2 = 1: discriminant
+        # b^2 - 4ac < 0 with a > 0 (`hexagonalRGBTargetsDetection.h:377`);
+        # checking c against b^2/4 alone also accepts parallel-line and
+        # hyperbolic conics (e.g. two rows of three dots)
+        a_c, b_c, c_c = params
+        if b_c * b_c - 4.0 * a_c * c_c >= 0.0 or a_c <= 0.0:
             continue
 
         cols = [colors[i] for i in six]
@@ -181,8 +192,13 @@ def detect_hex_targets(image, threshold_min: float = 0.3,
             continue
         main_id = mains[0]
 
+        def _mask(i):
+            m = np.zeros((H, W), bool)
+            m[idxs[i]] = True
+            return m
+
         refined = np.stack([
-            cluster_blurry_centroid(img, masks[i]) for i in six])
+            cluster_blurry_centroid(img, _mask(i)) for i in six])
 
         # inverted trigonometric direction to match image coordinates
         angles = np.arctan2(c0[:, 0], c0[:, 1])

@@ -64,6 +64,18 @@ class ExtraBytesDescriptor:
     def dtype(self):
         return None if self.data_type == 0 else _EB_TYPES[self.data_type]
 
+    @staticmethod
+    def _anchor(data_type):
+        """The 8-byte anchor dtype for no_data/min/max per LAS 1.4
+        table 24: the value is stored in the descriptor's own type
+        FAMILY — int64 for signed codes, uint64 unsigned, float64
+        floating (a uint64 anchor corrupts e.g. no_data = -1)."""
+        if data_type in (9, 10, 0):
+            return np.float64
+        if data_type in (2, 4, 6, 8):
+            return np.int64
+        return np.uint64
+
     def pack(self) -> bytes:
         buf = bytearray(192)
         buf[2] = self.data_type
@@ -77,17 +89,20 @@ class ExtraBytesDescriptor:
             if self.offset is not None:
                 options |= 0x10
         buf[3] = options
-        buf[4:4 + min(32, len(self.name))] = \
-            self.name.encode()[:32]
-        anchor = np.float64 if self.data_type in (9, 10, 0) else np.uint64
+        # encode FIRST, then bound by BYTE length: a char-count slice
+        # resizes the bytearray on multi-byte encodings and corrupts
+        # every descriptor after this one
+        nb = self.name.encode()[:32]
+        buf[4:4 + len(nb)] = nb
+        anchor = self._anchor(self.data_type)
         if self.no_data is not None:
             buf[40:48] = np.array([self.no_data], anchor).tobytes()
         if self.scale is not None:
             buf[112:120] = np.array([self.scale], np.float64).tobytes()
         if self.offset is not None:
             buf[136:144] = np.array([self.offset], np.float64).tobytes()
-        buf[160:160 + min(32, len(self.description))] = \
-            self.description.encode()[:32]
+        db = self.description.encode()[:32]
+        buf[160:160 + len(db)] = db
         return bytes(buf)
 
     @classmethod
@@ -98,7 +113,7 @@ class ExtraBytesDescriptor:
         desc = raw[160:192].split(b"\0")[0].decode("ascii", "replace")
         scale = off = nd = None
         if data_type != 0:
-            anchor = np.float64 if data_type in (9, 10) else np.uint64
+            anchor = cls._anchor(data_type)
             if options & 0x01:
                 nd = float(np.frombuffer(raw[40:48], anchor)[0])
             if options & 0x08:
@@ -403,9 +418,24 @@ class LasChunkWriter:
         if self._pf is None:
             has_gps = "gps_time" in attrs
             has_rgb = "rgb" in attrs
-            self._pf = {(False, False): 0, (True, False): 1,
-                        (False, True): 2, (True, True): 3}[
-                (has_gps, has_rgb)]
+            has_nir = "nir" in attrs
+            has_wave = "wave_packet" in attrs
+            if has_nir:
+                self._pf = 10 if has_wave else 8
+            elif has_wave:
+                self._pf = 9 if has_gps or not has_rgb else 5
+            else:
+                self._pf = {(False, False): 0, (True, False): 1,
+                            (False, True): 2, (True, True): 3}[
+                    (has_gps, has_rgb)]
+        # an attribute the chosen format cannot hold would be SILENTLY
+        # dropped by the record packer — refuse instead
+        for name, fmts in (("rgb", _RGB_FMTS), ("nir", _NIR_FMTS),
+                           ("wave_packet", _WAVE_FMTS)):
+            if name in attrs and self._pf not in fmts:
+                raise ValueError(
+                    f"point format {self._pf} cannot store {name!r}; "
+                    f"pass point_format from {fmts}")
         custom = {k: np.asarray(v) for k, v in attrs.items()
                   if k not in _STD_ATTRS}
         vlrs = list(self._vlrs)
@@ -427,6 +457,14 @@ class LasChunkWriter:
         elif "extra_bytes" in attrs:
             self._eb = np.ascontiguousarray(attrs["extra_bytes"],
                                             np.uint8).shape[1]
+
+        # the header-VLR length field is u16: silently truncating it
+        # corrupts every record after the payload — promote to an EVLR
+        # (forces a 1.4 header, which the native layer derives from isev)
+        vlrs = [Vlr(v.user_id, v.record_id, v.payload, v.description,
+                    is_evlr=True)
+                if not v.is_evlr and len(v.payload) > 0xFFFF else v
+                for v in vlrs]
 
         n_vlr = len(vlrs)
         if n_vlr:
@@ -471,6 +509,14 @@ class LasChunkWriter:
                 v = np.asarray(v)
                 if v.dtype == bool:
                     v = v.astype(np.uint8)
+                # invert the descriptor's value-space transform: the
+                # reader returns raw*scale+offset, so a read->write copy
+                # must store (v-offset)/scale back as raw counts
+                if d.scale is not None or d.offset is not None:
+                    v = (v.astype(np.float64) - (d.offset or 0.0)) \
+                        / (d.scale if d.scale is not None else 1.0)
+                    v = np.round(v) if d.dtype is not None \
+                        and np.dtype(d.dtype).kind in "iu" else v
                 raw = np.ascontiguousarray(
                     v.astype(d.dtype) if d.dtype is not None else v)
                 extra[:, off:off + d.nbytes] = \

@@ -159,7 +159,8 @@ _LAS_NATIVE = {"intensity", "return_number", "number_of_returns",
                "scan_direction", "edge_of_flight_line", "classification",
                "synthetic", "keypoint", "withheld", "overlap",
                "scanner_channel", "scan_angle", "user_data",
-               "point_source_id", "gps_time", "rgb", "nir", "wave_packet"}
+               "point_source_id", "gps_time", "rgb", "nir", "wave_packet",
+               "extra_bytes"}   # raw undescribed payload: LAS stores it
 
 
 def write_metacloud(path: str, cloud: PointCloud, meta: dict | None = None,
@@ -204,6 +205,10 @@ def write_metacloud(path: str, cloud: PointCloud, meta: dict | None = None,
         spec = " ".join(f'{_TYPE_NAMES[np.dtype(dt)]} "{nm}"'
                         for nm, dt in fields)
         lines += ["", "EXTRA_ATTRIBUTES", f'"{extra_file}" {spec}']
+    if index_files is None:
+        # read->write round trips preserve the source's index descriptors
+        # (read_metacloud records them on the cloud, like meta below)
+        index_files = getattr(cloud, "metacloud_index_files", None)
     if index_files:
         lines += ["", "INDEX_FILES"]
         for (p, t, nm) in index_files:

@@ -501,3 +501,17 @@ class TestFgSegmentation:
         mask = hierarchical_global_refined_mask(costs, 0.4)
         acc = (mask == truth.astype(int)).mean()
         assert acc > 0.95
+
+
+def test_hex_ellipse_rejects_parallel_rows():
+    """Two parallel rows of three dots fit a degenerate conic, not an
+    ellipse — the discriminant test must reject the false hexagon."""
+    import numpy as np
+    from libstevi_tpu.imageproc.targets import detect_hex_targets
+    img = np.ones((64, 96, 3), np.float32)
+    pts = [(20, 20), (20, 44), (20, 68), (44, 20), (44, 44), (44, 68)]
+    cols = [(0.1, 0.1, 0.9), (0.9, 0.1, 0.1), (0.1, 0.9, 0.1),
+            (0.9, 0.1, 0.1), (0.1, 0.9, 0.1), (0.9, 0.1, 0.1)]
+    for (y, x), c in zip(pts, cols):
+        img[y - 2:y + 3, x - 2:x + 3] = c
+    assert detect_hex_targets(img) == []

@@ -372,12 +372,15 @@ class TestLasV2:
                                                 ExtraBytesDescriptor)
         n = 100
         xyz = rng.uniform(0, 1, (n, 3))
-        raw = rng.integers(0, 1000, n).astype(np.uint16)
+        # attribute values are ALWAYS value space on the Python side:
+        # the writer stores (v - offset)/scale as raw counts and the
+        # reader applies raw*scale+offset, so write->read round-trips
+        vals = 5.0 + 0.01 * rng.integers(0, 1000, n)
         desc = [ExtraBytesDescriptor("scaled", 3, scale=0.01, offset=5.0)]
-        write_las_v2(str(tmp_path / "d.las"), xyz, {"scaled": raw},
+        write_las_v2(str(tmp_path / "d.las"), xyz, {"scaled": vals},
                      point_format=6, extra_descriptors=desc)
         ch = LasReader(str(tmp_path / "d.las")).read_chunk(0, n)
-        np.testing.assert_allclose(ch["scaled"], raw * 0.01 + 5.0)
+        np.testing.assert_allclose(ch["scaled"], vals, atol=1e-9)
 
 
 class TestMetaCloudNative:
@@ -592,3 +595,82 @@ class TestChunkedLasWriter:
         hdrs = [v for v in r.header.vlrs if not v.is_evlr
                 and v.user_id == "MyApp"]
         assert hdrs and hdrs[0].payload == b"hdr payload"
+
+
+class TestDescriptorEdgeCases:
+    def test_signed_no_data_round_trip(self):
+        """no_data anchors in the descriptor's own type family (LAS 1.4
+        table 24): -1 must survive pack/unpack for signed codes."""
+        from libstevi_tpu.io.las_stream import ExtraBytesDescriptor
+        d = ExtraBytesDescriptor("height", 6, no_data=-1.0)  # int32
+        back = ExtraBytesDescriptor.unpack(d.pack())
+        assert back.no_data == -1.0
+
+    def test_non_ascii_name_keeps_record_length(self):
+        """Multi-byte names must not resize the 192-byte record (a
+        char-count slice would corrupt every following descriptor)."""
+        from libstevi_tpu.io.las_stream import (ExtraBytesDescriptor,
+                                                parse_extra_bytes_vlr)
+        a = ExtraBytesDescriptor("héight", 9)
+        b = ExtraBytesDescriptor("plain", 9)
+        raw = a.pack() + b.pack()
+        assert len(a.pack()) == 192
+        descs = parse_extra_bytes_vlr(raw)
+        assert descs[1].name == "plain" and descs[1].data_type == 9
+
+    def test_nir_format_inference_and_guard(self, rng, tmp_path):
+        """'nir' infers format 8 (not silently dropped at format 2);
+        an explicit too-small format raises instead of dropping."""
+        from libstevi_tpu.io.las_stream import (LasChunkWriter, LasReader,
+                                                write_las_v2)
+        n = 40
+        xyz = rng.uniform(-1, 1, (n, 3))
+        attrs = {"gps_time": rng.uniform(0, 1, n),
+                 "rgb": rng.integers(0, 99, (n, 3)).astype(np.uint16),
+                 "nir": rng.integers(0, 99, n).astype(np.uint16)}
+        p = str(tmp_path / "nir.las")
+        write_las_v2(p, xyz, attrs)
+        r = LasReader(p)
+        assert r.header.point_format == 8
+        np.testing.assert_array_equal(r.read_chunk(0, n)["nir"],
+                                      attrs["nir"])
+        with pytest.raises(ValueError):
+            w = LasChunkWriter(str(tmp_path / "bad.las"), point_format=2)
+            w.write_chunk(xyz, attrs)
+
+    def test_scaled_extra_bytes_write_inversion(self, rng, tmp_path):
+        """A read->write copy of scale/offset extra bytes preserves the
+        VALUE space (the writer inverts what the reader applies)."""
+        from libstevi_tpu.io.las_stream import (ExtraBytesDescriptor,
+                                                LasChunkWriter, LasReader)
+        n = 30
+        xyz = rng.uniform(-1, 1, (n, 3))
+        desc = [ExtraBytesDescriptor("temp", 3, scale=0.01, offset=5.0)]
+        vals = 5.0 + 0.01 * rng.integers(0, 1000, n)  # value space
+        p1, p2 = str(tmp_path / "a.las"), str(tmp_path / "b.las")
+        with LasChunkWriter(p1, extra_descriptors=desc) as w:
+            w.write_chunk(xyz, {"temp": vals})
+        r1 = LasReader(p1)
+        got1 = r1.read_chunk(0, n)["temp"]
+        np.testing.assert_allclose(got1, vals, atol=1e-9)
+        with LasChunkWriter(p2, extra_descriptors=r1.extra_descriptors) as w:
+            w.write_chunk(xyz, {"temp": got1})
+        got2 = LasReader(p2).read_chunk(0, n)["temp"]
+        np.testing.assert_allclose(got2, vals, atol=1e-9)
+
+    def test_oversized_header_vlr_promoted_to_evlr(self, rng, tmp_path):
+        """Header VLR length is u16: >65535-byte payloads auto-promote
+        to EVLRs instead of truncating the recorded length."""
+        from libstevi_tpu.io.las_stream import (LasChunkWriter, LasReader,
+                                                Vlr)
+        n = 10
+        xyz = rng.uniform(-1, 1, (n, 3))
+        p = str(tmp_path / "big.las")
+        with LasChunkWriter(p, vlrs=[Vlr("MyApp", 1, b"x" * 70000,
+                                         "big")]) as w:
+            w.write_chunk(xyz, {})
+        r = LasReader(p)
+        mine = [v for v in r.header.vlrs if v.user_id == "MyApp"]
+        assert len(mine) == 1 and mine[0].is_evlr
+        assert len(mine[0].payload) == 70000
+        assert r.n_points == n
