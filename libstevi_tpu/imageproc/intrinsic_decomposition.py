@@ -153,7 +153,11 @@ def _texture_chains(chroma: np.ndarray, log_img: np.ndarray,
         if owner[s] < 0:
             owner[s] = s
         owner[hit] = root
-        orient[hit] = best_o[best_c < grouping_threshold]
+        # member-R0 ~ seed-R(o), so sampling the member at R(4-o) lands
+        # in the seed's frame; compose with the seed's own root-relative
+        # orientation when the seed was itself absorbed earlier
+        o_hit = best_o[best_c < grouping_threshold]
+        orient[hit] = (orient[s] + 4 - o_hit) % 4
         alive[hit] = False
 
     pairs_p, pairs_i, coeffs = [], [], []
@@ -359,7 +363,7 @@ def auto_retinex_with_nonlocal_texture_constraint(
     best, best_e = None, np.inf
     for i in range(n_thresh):
         cand = retinex_with_nonlocal_texture_constraint(
-            rgb_image, i * bin_w, lambda_retinex, lambda_texture,
+            rgb_image, lo + i * bin_w, lambda_retinex, lambda_texture,
             lambda_scaling, reflectance_to_shading_weight,
             grouping_threshold, _chains=chains)
         h = Histogram.compute(cand.shading[..., 0], n_bins,

@@ -451,6 +451,14 @@ def flatten_height_map_in_area_of_interest(base_height: jnp.ndarray,
     flat = (h - jnp.einsum("hwa,a->hw", basis, coeffs)) * m
 
     if ensure_convex:
+        # reference parity (`shapeFromShading.h:1050-1075`): the vote
+        # kernel is the all-positive [[1,1,1],[1,8,1],[1,1,1]] smoother,
+        # i.e. the sign of the SMOOTHED plane-removed height, majority
+        # over the mask.  Note this is not a curvature test: it chooses
+        # the flip where most of the region sits ABOVE the fitted plane
+        # (a narrow peak over a wide tail gets inverted to a wide
+        # plateau with a dent — the reference's concavity-ambiguity
+        # disambiguation, replicated as-is).
         k = jnp.asarray([[1., 1., 1.], [1., 8., 1.], [1., 1., 1.]])
         conv = convolve_2d(flat, k, (_PM1, _PM1))
         score = jnp.sum(jnp.where(conv >= 0, 1.0, -1.0) * m)

@@ -99,6 +99,10 @@ def read_exr_header(path: str) -> dict:
         version = struct.unpack("<i", f.read(4))[0]
         if version & 0x200:
             raise IOError("tiled EXR files are not supported")
+        if version & 0x800:
+            raise IOError("deep EXR files are not supported")
+        if version & 0x1000:
+            raise IOError("multipart EXR files are not supported")
         attrs = _parse_header(f)
         data_start = f.tell()
     for req in ("channels", "dataWindow", "compression"):
@@ -137,6 +141,10 @@ def read_exr(path: str) -> dict:
                       "(NONE/ZIPS/ZIP only)")
 
     chans = hdr["channels"]
+    for (name, _, xs, ys) in chans:
+        if xs != 1 or ys != 1:
+            raise IOError(f"subsampled EXR channel {name!r} "
+                          f"(sampling {xs}x{ys}) is not supported")
     dts = [np.dtype(_PIXEL_DTYPES[pt]) for (_, pt, _, _) in chans]
     line_bytes = sum(dt.itemsize * W for dt in dts)
     n_blocks = -(-H // lines_per_block)
@@ -178,6 +186,11 @@ def write_exr(path: str, channels: dict, compression: str = "zip") -> bool:
     comp = {"none": 0, "zips": 2, "zip": 3}[compression]
     lines_per_block = 16 if comp == 3 else 1
     names = sorted(channels)
+    for n in names:
+        if len(n.encode()) > 31:
+            # the 0x400 long-names bit is not emitted; conforming
+            # readers enforce the 31-byte limit without it
+            raise ValueError(f"EXR channel name {n!r} exceeds 31 bytes")
     planes = {n: np.asarray(channels[n], np.float32) for n in names}
     H, W = next(iter(planes.values())).shape
     for n in names:

@@ -49,7 +49,7 @@ def fastmatch(func: MatchingFunction, source_fv: jnp.ndarray,
     D = search.count
     is_score = MATCH_TRAITS[func].strategy is ExtractionStrategy.SCORE
     bad = jnp.float32(-jnp.inf if is_score else jnp.inf)
-    src = source_fv.astype(source_fv.dtype)
+    src = source_fv
     tgt = target_fv
 
     def cost_at(j, d_vec):

@@ -70,9 +70,17 @@ class CachelessOnDemandStereoCostVolume:
         return jnp.where(inb, c, bad)
 
     def cost_value(self, pos, disp):
-        """Scalar access for API parity (evaluates one pixel's candidate)."""
+        """Scalar access for API parity: None outside the search range or
+        image (matching `costValue`'s empty optional, and the memoizing
+        subclass — a +-inf sentinel here would leak into reductions as a
+        'real' cost), else the evaluated candidate."""
         i, j = pos
-        d = disp[0] if isinstance(disp, (tuple, list)) else disp
+        d = disp[0] if isinstance(disp, (tuple, list)) else int(disp)
+        W = self.source.shape[1]
+        if not (self.search.lower <= d <= self.search.upper):
+            return None
+        if not (0 <= j + d < W):
+            return None
         field = jnp.full(self.source.shape[:2], jnp.int32(d))
         return self.cost_field(field)[i, j]
 

@@ -238,6 +238,29 @@ class TestShapeFromShadingReference:
         assert abs(fl[mask].min()) < 1e-5           # shifted to zero
         assert fl[H // 2, W // 2] > fl[mask].mean()  # bump survives deplaning
 
+    def test_flatten_ensure_convex_majority_rule(self):
+        """ensure_convex replicates the reference's majority vote on the
+        sign of the SMOOTHED plane-removed height
+        (`shapeFromShading.h:1050-1075`): the flip puts MOST of the
+        masked region above the fitted plane.  A narrow peak over a wide
+        tail therefore inverts (wide plateau + dent), and a wide plateau
+        with a narrow pit stays."""
+        from libstevi_tpu.imageproc.shape_from_shading import \
+            flatten_height_map_in_area_of_interest
+        H = W = 48
+        ii, jj = np.mgrid[0:H, 0:W].astype(np.float64)
+        r2 = (ii - H / 2) ** 2 + (jj - W / 2) ** 2
+        mask = r2 < (H * 0.4) ** 2
+        dome = np.exp(-r2 / 50).astype(np.float32)
+        # narrow peak -> majority below plane -> flipped to a dent
+        fl = np.asarray(flatten_height_map_in_area_of_interest(
+            jnp.asarray(dome), jnp.asarray(mask), ensure_convex=True))
+        assert fl[H // 2, W // 2] < fl[mask].mean()
+        # narrow pit -> majority above plane -> kept as-is
+        fl = np.asarray(flatten_height_map_in_area_of_interest(
+            jnp.asarray(-dome), jnp.asarray(mask), ensure_convex=True))
+        assert fl[H // 2, W // 2] < fl[mask].mean()
+
     def test_estimate_light_direction_ramp_semantics(self):
         from libstevi_tpu.imageproc.shape_from_shading import \
             estimate_light_direction_from_shading
@@ -515,3 +538,29 @@ def test_hex_ellipse_rejects_parallel_rows():
     for (y, x), c in zip(pts, cols):
         img[y - 2:y + 3, x - 2:x + 3] = c
     assert detect_hex_targets(img) == []
+
+
+def test_texture_chains_rotation_invariant(rng):
+    """Non-local texture clustering aligns 90/180/270-degree-rotated
+    patch copies into the seed frame (orient = seed_orient + 4 - o):
+    the chain coefficients must match the unrotated-copy baseline
+    (`intrinsicImageDecomposition.h:265-464`)."""
+    import numpy as np
+    from libstevi_tpu.imageproc.intrinsic_decomposition import (
+        _texture_chains, _rg_chromaticity)
+
+    def build(rot):
+        img = np.full((20, 20, 3), 0.5, np.float32)
+        patch = np.random.default_rng(5).uniform(
+            0.2, 0.9, (5, 5, 3)).astype(np.float32)
+        img[3:8, 3:8] = patch
+        img[12:17, 12:17] = np.rot90(patch, k=rot) if rot else patch
+        log = np.log(np.maximum(img, 1e-8))
+        return _texture_chains(_rg_chromaticity(log), log, 0.002)
+
+    base = build(0)
+    for rot in (1, 2, 3):
+        got = build(rot)
+        assert len(got[0]) == len(base[0])
+        np.testing.assert_allclose(np.abs(got[2]).mean(),
+                                   np.abs(base[2]).mean(), rtol=0.05)
