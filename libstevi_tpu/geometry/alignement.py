@@ -25,7 +25,7 @@ from typing import Tuple
 import jax
 import jax.numpy as jnp
 
-from .core import AffineTransform, skew, unskew
+from .core import AffineTransform, unskew
 from .rotations import rodrigues_formula
 
 
@@ -105,8 +105,15 @@ def estimate_essential_matrix(pt_cam_1: jnp.ndarray, pt_cam_2: jnp.ndarray
     ones = jnp.ones_like(x1)
     F = jnp.stack([x2 * x1, x2 * y1, x2, y2 * x1, y2 * y1, y2,
                    x1, y1, ones], 0)          # (9, N)
-    # null vector of F^T == left singular vector of F for the smallest sv
-    u, _, _ = jnp.linalg.svd(F, full_matrices=True)
+    # null vector of F^T == left singular vector of F for the smallest sv.
+    # full_matrices=False keeps V at (9, N) instead of (N, N) — at large
+    # N the full V is an O(N^2) allocation read by nobody; U is square
+    # (9, 9) whenever N >= 9, and the exact-minimal N == 8 case pads one
+    # zero column so u[:, 8] is the true null vector rather than a
+    # silently clamped index
+    if F.shape[1] < 9:
+        F = jnp.pad(F, ((0, 0), (0, 9 - F.shape[1])))
+    u, _, _ = jnp.linalg.svd(F, full_matrices=False)
     e = u[:, 8]
     return e.reshape(3, 3)
 
@@ -145,6 +152,9 @@ def select_transform(T1: AffineTransform, T2: AffineTransform,
         err = jnp.linalg.norm(project_points(reproj, cand) - pt_cam_2) / n
         err = err + jnp.linalg.norm(
             project_points(reproj2, inv) - pt_cam_1) / n
+        # near-epipole correspondences triangulate to inf depth, which
+        # PASSES z >= 0 and then projects to NaN; NaN would win argmin
+        err = jnp.where(jnp.isfinite(err), err, jnp.inf)
         return jnp.where(ok1 & ok2, err, jnp.inf)
 
     Rs = jnp.stack([T1.R, T1.R, T2.R, T2.R])
@@ -234,8 +244,6 @@ def p3p(pt_cam: jnp.ndarray, pt_world: jnp.ndarray):
     D0 = D1 + gamma * D2  # rank-2, one zero eigenvalue
 
     # eigen decomposition knowing one zero eigenvalue
-    b3v = jnp.cross(D0[1], D0[2])
-    b3v = b3v / jnp.maximum(jnp.linalg.norm(b3v), 1e-12)
     f = D0.reshape(-1)
     p1c = -f[0] - f[4] - f[8]
     p0c = (-f[1] * f[1] - f[2] * f[2] - f[5] * f[5]
@@ -356,7 +364,12 @@ def pnp(pt_cam: jnp.ndarray, pt_world: jnp.ndarray, refine: bool = True
         ) -> AffineTransform:
     """PnP: P3P on the first three points, candidates scored by all-point
     reprojection error, optional Gauss-Newton polish (`pnp`,
-    `alignement.h:1064-1155`)."""
+    `alignement.h:1064-1155`).
+
+    Failure signalling: when every P3P candidate is invalid (collinear
+    or degenerate first three points), the returned transform carries
+    NaN entries — check ``jnp.isfinite(T.R).all()`` (the jit-traceable
+    analogue of the reference's empty optional)."""
     rays = jnp.concatenate([pt_cam[:3], jnp.ones((3, 1))], -1)
     Rs, ts, valid = p3p(rays, pt_world[:3])
 
@@ -364,6 +377,7 @@ def pnp(pt_cam: jnp.ndarray, pt_world: jnp.ndarray, refine: bool = True
         cam_pts = pt_world @ R.T + t
         proj = project_points(cam_pts)
         err = jnp.sum((proj - pt_cam) ** 2)
+        err = jnp.where(jnp.isfinite(err), err, jnp.inf)
         err = jnp.where(jnp.all(cam_pts[..., 2] > 0), err, jnp.inf)
         return jnp.where(ok, err, jnp.inf)
 

@@ -47,7 +47,7 @@ def skew_distortion(pos: jnp.ndarray, B12, f, pp) -> jnp.ndarray:
     B12 = jnp.asarray(B12, jnp.float32)
     r = homogeneous_to_image(pos, f, pp)
     dx = B12[0] * pos[..., 0] + B12[1] * pos[..., 1]
-    return r.at[..., 0].add(dx) if hasattr(r, "at") else r
+    return r.at[..., 0].add(dx)
 
 
 def inverse_skew_distortion(pos: jnp.ndarray, B12, f, pp) -> jnp.ndarray:
@@ -226,8 +226,11 @@ class ImageRectifier:
                 return False
         self.roi_top_left = tl
         self.roi_bottom_right = br
-        rng = br - tl
-        if rng[0] <= 0 or rng[1] <= 0:
+        # br is an INCLUSIVE pixel coordinate (H-1/W-1 for 'same'): the
+        # grid must span br - tl + 1 rows/cols or the last row and
+        # column of every ROI mode are dropped
+        rng = br - tl + 1
+        if rng[0] <= 1 or rng[1] <= 1:
             return False
         new_pp = self.pp - jnp.asarray([tl[1], tl[0]], jnp.float32)
         jj, ii = jnp.meshgrid(jnp.arange(rng[1], dtype=jnp.float32),

@@ -26,8 +26,8 @@ from typing import Optional
 import numpy as np
 import jax.numpy as jnp
 
+from .lensdistortion import full_lens_distortion_homogeneous
 from .rotations import rodrigues_formula
-from .lensdistortion import radial_distortion, tangential_distortion
 from ..optim.lsq import least_squares
 
 
@@ -95,19 +95,30 @@ class StereoRigRectifier:
         dir_mean = (dir1 + dir2) / 2.0
         dir_mean = dir_mean / jnp.linalg.norm(dir_mean)
 
-        def small_rot(axis_sin):
-            n = jnp.linalg.norm(axis_sin)
-            scale = jnp.where(n > 1e-3, jnp.arcsin(jnp.clip(n, 0, 1))
-                              / jnp.maximum(n, 1e-12), 1.0)
-            return rodrigues_formula(axis_sin * scale)
+        def align_rot(u, v):
+            """Rotation taking unit u onto unit v.  The angle comes from
+            atan2(|u x v|, u.v) — arcsin(|cross|) caps at 90 degrees and
+            mis-rotates obtuse pairs (e.g. a camera x axis anti-aligned
+            with the baseline would get a ~1 degree roll instead of
+            ~179).  Exactly-antiparallel pairs rotate about an arbitrary
+            perpendicular axis."""
+            c = jnp.cross(u, v)
+            n = jnp.linalg.norm(c)
+            ang = jnp.arctan2(n, jnp.dot(u, v))
+            alt = jnp.cross(u, jnp.asarray([1.0, 0.0, 0.0]))
+            alt2 = jnp.cross(u, jnp.asarray([0.0, 1.0, 0.0]))
+            alt = jnp.where(jnp.linalg.norm(alt) > 1e-6, alt, alt2)
+            axis = jnp.where(n > 1e-6, c / jnp.maximum(n, 1e-12),
+                             alt / jnp.maximum(jnp.linalg.norm(alt), 1e-12))
+            return rodrigues_formula(axis * ang)
 
-        Rot1 = small_rot(jnp.cross(fwd1, dir_mean))
-        Rot2 = small_rot(jnp.cross(fwd2, dir_mean))
+        Rot1 = align_rot(fwd1, dir_mean)
+        Rot2 = align_rot(fwd2, dir_mean)
 
         x1 = jnp.asarray([1.0, 0.0, 0.0])
         x2 = RC2 @ x1
-        a1 = small_rot(jnp.cross(Rot1 @ x1, t_dir))
-        a2 = small_rot(jnp.cross(Rot2 @ x2, t_dir))
+        a1 = align_rot(Rot1 @ x1, t_dir)
+        a2 = align_rot(Rot2 @ x2, t_dir)
 
         self.corr_r_cam1 = a1 @ Rot1
         corr2_in_cam1 = a2 @ Rot2
@@ -208,16 +219,11 @@ class StereoRigRectifier:
                              jnp.ones((h, w, 1))], -1)
         v = jnp.einsum("ab,hwb->hwa", R, v)
         r = v[..., :2] / v[..., 2:3]
-        if k is not None:
-            r = r + radial_distortion(r, k)
-        if t_ is not None:
-            r = r + tangential_distortion(r, t_)
-        if B is not None:
-            B = jnp.asarray(B, jnp.float32)
-            px = f * r + pp
-            px = px.at[..., 0].add(B[0] * r[..., 0] + B[1] * r[..., 1])
-        else:
-            px = f * r + pp
+        # the library's own forward model (radial AND tangential both
+        # evaluated at the UNDISTORTED position, skew on the distorted
+        # one) — composing tangential onto the radially-inflated coords
+        # overstates it quadratically toward the border
+        px = full_lens_distortion_homogeneous(r, f, pp, k, t_, B)
         # stored as (row, col) like the reference (`:787-788`)
         return jnp.stack([px[..., 1], px[..., 0]], -1)
 

@@ -76,6 +76,14 @@ class GaussNewton:
                                               length=self.iters)
         history = jnp.concatenate([x0[None], hist], 0)
         r = self.residual_fn(x_final, *args)
+        conv = steps[-1] < self.tol
+        # status derives from the converged flag host-side when the
+        # result is concrete (`gaussnewtownproblem.h:121` ConvergenceType)
+        try:
+            status = (ConvergenceType.CONVERGED if bool(conv)
+                      else ConvergenceType.MAX_STEPS_REACHED)
+        except jax.errors.TracerBoolConversionError:
+            status = None               # inside jit: use `converged`
         return GNResult(x=x_final, history=history,
                         residual_norm=jnp.linalg.norm(r),
-                        converged=steps[-1] < self.tol)
+                        converged=conv, status=status)

@@ -56,10 +56,10 @@ def ransac(fit_fn: Callable, residual_fn: Callable, data, n_samples: int,
         return model, inl.sum(), jnp.where(inl, res, 0.0).sum()
 
     models, counts, errs = jax.vmap(hypothesis)(keys)
-    # most inliers; tie-break on lower inlier residual sum
-    score = counts.astype(jnp.float64 if jax.config.jax_enable_x64
-                          else jnp.float32) * 1e9 - errs
-    best = jnp.argmax(score)
+    # most inliers; tie-break on lower inlier residual sum — selected
+    # LEXICOGRAPHICALLY (a packed counts*1e9 - errs float score rounds
+    # the residual term away entirely: the float32 ulp at 1e9 is 64)
+    best = jnp.argmin(jnp.where(counts == counts.max(), errs, jnp.inf))
     model = jax.tree_util.tree_map(lambda m: m[best], models)
     res = jnp.abs(residual_fn(model, data))
     inliers = res < threshold

@@ -133,13 +133,13 @@ class TestLensDistortion:
         rect = ImageRectifier(500.0, np.array([32.0, 24.0]), (48, 64))
         assert rect.compute("same")
         bm = np.asarray(rect.backward_map)
-        assert bm.shape == (47, 63, 2)
+        assert bm.shape == (48, 64, 2)
         # without distortion the backward map is the identity grid
         np.testing.assert_allclose(bm[:, :, 0],
-                                   np.arange(47)[:, None] * np.ones(63),
+                                   np.arange(48)[:, None] * np.ones(64),
                                    atol=1e-3)
         np.testing.assert_allclose(bm[:, :, 1],
-                                   np.ones(47)[:, None] * np.arange(63),
+                                   np.ones(48)[:, None] * np.arange(64),
                                    atol=1e-3)
 
     def test_rectifier_with_distortion(self):
