@@ -58,21 +58,33 @@ class DisparityEstimatorWithBackgroundRemoval:
     def compute_disp_and_foreground_mask(self, live_cv: jnp.ndarray
                                          ) -> StereoDispWithBgMask:
         """live_cv: the live pair's cost volume over the same search range."""
-        from ..imageproc.morphology import opening
+        from ..imageproc.morphology import opening, dilation
         assert self.bg_cv is not None, "background not computed"
         idx = self.bg_idx[..., None].astype(jnp.int32)
         cost_bg = jnp.take_along_axis(self.bg_cv, idx, -1)[..., 0]
         cost_fg = jnp.take_along_axis(live_cv, idx, -1)[..., 0]
 
-        lo = jnp.minimum(jnp.abs(cost_bg), jnp.abs(cost_fg))
-        hi = jnp.maximum(jnp.abs(cost_bg), jnp.abs(cost_fg))
-        similar = lo / jnp.maximum(hi, 1e-12) > self.rel_threshold
-        fg = ~similar
-        # region consistency (vectorized replacement for the BFS chains)
-        fg = opening(fg.astype(jnp.float32), radius=1) > 0.5
-
+        # RAW min/max ratio like the reference (`:163`): sign-opposite
+        # scores (e.g. an anti-correlated occluder under ZNCC) give a
+        # negative ratio and are correctly NOT similar — an abs() ratio
+        # would call them background
+        lo = jnp.minimum(cost_bg, cost_fg)
+        hi = jnp.maximum(cost_bg, cost_fg)
+        ratio = lo / jnp.where(jnp.abs(hi) > 1e-12, hi, 1e-12)
+        similar = ratio > self.rel_threshold
         live_idx = extract_selected_index(
             live_cv, MATCH_TRAITS[self.func].strategy)
+        # the reference's disp_tol (`:199`) stops region GROWTH at pixels
+        # whose live optimum sits within the tolerance of the background
+        # disparity: only disparity-displaced dissimilar pixels seed
+        # regions; cost-dissimilar-but-near-bg pixels join only when
+        # adjacent to a seeded region (vectorized analogue of the BFS)
+        moved = jnp.abs(live_idx.astype(jnp.int32)
+                        - self.bg_idx.astype(jnp.int32)) >= self.disp_tol
+        strong = (~similar) & moved
+        seed = opening(strong.astype(jnp.float32), radius=1) > 0.5
+        grown = dilation(seed.astype(jnp.float32), radius=1) > 0.5
+        fg = seed | ((~similar) & grown)
         disp_fg = live_idx + self.search.lower
         disp_bg = self.bg_idx + self.search.lower
         disp = jnp.where(fg, disp_fg, disp_bg).astype(disp_dtype)

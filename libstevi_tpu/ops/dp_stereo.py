@@ -33,7 +33,9 @@ def dp_stereo(cv: jnp.ndarray, P1: float = 1.0, P2: float = 4.0,
               guide: jnp.ndarray | None = None,
               guide_scale: float = 1.0) -> DpStereoResult:
     """Per-row DP over an (H, W, D) cost volume with SGM-like jump costs;
-    `guide` (H, W) modulates the jump penalty by exp(-|grad|)*scale
+    `guide` (H, W) modulates the jump penalty by exp(-guide_scale*|grad|)
+    (guide_scale sets the edge sensitivity: larger -> penalties collapse
+    faster at image edges)
     (`SGMLikeWithImageGuideJumpCostPolicy`)."""
     H, W, D = cv.shape
     cv = cv.astype(jnp.float32)
@@ -41,12 +43,9 @@ def dp_stereo(cv: jnp.ndarray, P1: float = 1.0, P2: float = 4.0,
     delta = jnp.abs(dd[:, None] - dd[None, :]).astype(jnp.float32)
     base_pen = jnp.where(delta == 1, P1, jnp.where(delta > 1, P2, 0.0))
 
-    if guide is None:
-        pen_cols = jnp.ones((W,), jnp.float32)
-    else:
+    if guide is not None:
         g = guide.astype(jnp.float32)
         grad = jnp.abs(jnp.diff(g, axis=1, prepend=g[:, :1]))
-        pen_cols = None  # handled per row below
 
     def forward(row_cv, row_pen):
         # row_cv (W, D); row_pen (W,) jump-cost modulation per column
@@ -69,7 +68,7 @@ def dp_stereo(cv: jnp.ndarray, P1: float = 1.0, P2: float = 4.0,
     else:
         pen = jnp.exp(-grad * guide_scale)
 
-    final, args = jax.vmap(forward)(jnp.swapaxes(cv, 0, 0), pen)
+    final, args = jax.vmap(forward)(cv, pen)
     # backtrack (reverse scan over columns)
     last = jnp.argmin(final, axis=-1).astype(jnp.int32)   # (H,)
 

@@ -32,6 +32,9 @@ def compute_aggregation_weights(guide: jnp.ndarray, radius: int,
     g = guide.astype(jnp.float32)
     if g.ndim == 3:
         g = jnp.mean(g, -1)
+    H, W = g.shape
+    ii = jnp.arange(H, dtype=jnp.int32)[:, None]
+    jj = jnp.arange(W, dtype=jnp.int32)[None, :]
     ws = []
     for di in range(-radius, radius + 1):
         for dj in range(-radius, radius + 1):
@@ -39,9 +42,14 @@ def compute_aggregation_weights(guide: jnp.ndarray, radius: int,
                               / (2.0 * sigma_spatial ** 2))
             diff = _shifted(g, di, dj) - g
             match = jnp.exp(-(diff * diff) / (2.0 * sigma_value ** 2))
-            ws.append(spatial * match)
+            # out-of-image window slots carry ZERO weight (their zero-
+            # filled guide diff would otherwise keep near-full weight at
+            # dark border pixels and deflate the normalized aggregate)
+            inb = ((ii + di >= 0) & (ii + di < H)
+                   & (jj + dj >= 0) & (jj + dj < W))
+            ws.append(jnp.where(inb, spatial * match, 0.0))
     w = jnp.stack(ws, -1)
-    return w / jnp.sum(w, -1, keepdims=True)
+    return w / jnp.maximum(jnp.sum(w, -1, keepdims=True), 1e-12)
 
 
 def guided_cost_volume_aggregation(cv: jnp.ndarray, guide: jnp.ndarray,

@@ -84,26 +84,34 @@ def _window_costs(func: MatchingFunction, source_fv, target_fv, center,
 
     The per-pixel W-axis lookup runs as a one-hot matmul on the MXU
     (out-of-range rows are all-zero, matching the reference's
-    zero-target-vector convention); each window slot reuses the shared
-    one-hot against a shifted copy of the target volume."""
+    zero-target-vector convention).  The one-hot is built PER SLOT from
+    the slot's own target index, so validity is per-slot (a shared
+    center one-hot zeroed every slot of a pixel whose CENTER was out of
+    range, even when the slot itself was in-image).  Census-family
+    features are packed uint32 bit words — float matmuls round them
+    (bf16 above 256, f32 above 2^24) — so they take an exact gather."""
+    from ..core.types import MATCH_TRAITS as _MT
     H, W, F = target_fv.shape
     jj = jnp.arange(W, dtype=jnp.int32)[None, :]
     hot_dtype = (jnp.bfloat16 if jax.default_backend() == "tpu"
                  else jnp.float32)
     base_j = jj + center
-    onehot = (base_j[..., None] == jnp.arange(W, dtype=jnp.int32)
-              ).astype(hot_dtype)                        # (H, W, W)
-    tgtc = target_fv.astype(hot_dtype)
+    census = _MT[func].census
+    tgtc = target_fv if census else target_fv.astype(hot_dtype)
     outs = []
     for k in range(2 * radius + 1):
         sh = dir_sign * (k - radius)
-        # shift the target so slot k's offset folds into the shared one-hot
-        if sh >= 0:
-            t_s = jnp.pad(tgtc, ((0, 0), (0, sh), (0, 0)))[:, sh:, :]
+        t_j = base_j + sh
+        inb = (t_j >= 0) & (t_j < W)
+        if census:
+            tj = jnp.clip(t_j, 0, W - 1)
+            g = jnp.take_along_axis(tgtc, tj[..., None], axis=1)
+            g = jnp.where(inb[..., None], g, 0)
         else:
-            t_s = jnp.pad(tgtc, ((0, 0), (-sh, 0), (0, 0)))[:, :W, :]
-        g = jnp.einsum("hjw,hwf->hjf", onehot, t_s,
-                       preferred_element_type=jnp.float32)
+            onehot = (t_j[..., None] == jnp.arange(W, dtype=jnp.int32)
+                      ).astype(hot_dtype)                # (H, W, W)
+            g = jnp.einsum("hjw,hwf->hjf", onehot, tgtc,
+                           preferred_element_type=jnp.float32)
         outs.append(feature_comparison(func, source_fv, g).astype(cv_dtype))
     return jnp.stack(outs, axis=-1)
 

@@ -70,19 +70,25 @@ class _StereoEval:
         The per-pixel W-axis lookup runs as a one-hot matmul on the MXU
         (out-of-range rows are all-zero -> zero target vector, matching the
         reference convention) instead of a TPU gather; bf16 one-hot halves
-        the streaming cost on TPU."""
+        the streaming cost on TPU.  Census-family features are packed
+        uint32 BIT WORDS — any float matmul rounds them (bf16 above 256,
+        f32 above 2^24), so they take an exact gather instead."""
         H, W, F = self.target.shape
         jj = jnp.arange(W, dtype=jnp.int32)[None, :]
         tgt_j = jj + d
         inb = (tgt_j >= 0) & (tgt_j < W)
-        import jax as _jax
-        hot_dtype = (jnp.bfloat16 if _jax.default_backend() == "tpu"
-                     else jnp.float32)
-        onehot = (tgt_j[..., None] == jnp.arange(W, dtype=jnp.int32)
-                  ).astype(hot_dtype)
-        tgt = jnp.einsum("hjw,hwf->hjf", onehot,
-                         self.target.astype(hot_dtype),
-                         preferred_element_type=jnp.float32)
+        if self.traits.census:
+            tj = jnp.clip(tgt_j, 0, W - 1)
+            tgt = jnp.take_along_axis(self.target, tj[..., None], axis=1)
+            tgt = jnp.where(inb[..., None], tgt, 0)
+        else:
+            hot_dtype = (jnp.bfloat16 if jax.default_backend() == "tpu"
+                         else jnp.float32)
+            onehot = (tgt_j[..., None] == jnp.arange(W, dtype=jnp.int32)
+                      ).astype(hot_dtype)
+            tgt = jnp.einsum("hjw,hwf->hjf", onehot,
+                             self.target.astype(hot_dtype),
+                             preferred_element_type=jnp.float32)
         c = feature_comparison(self.func, self.source, tgt)
         return jnp.where(inb, c, self.worst)
 
@@ -154,7 +160,13 @@ def _random_search(ev: _StereoEval, disp, cost, search: SearchOffset1,
         cand = disp + delta
         cand = jnp.where(cand == disp, disp + 1, cand)
         cand_cost = ev.cost_field(cand)
-        accept = _better(ev.traits, cand_cost, cost)
+        # the +1 nudge (and geometric rounding) can leave the search
+        # range: reject out-of-range candidates before the tie-accepting
+        # compare (`patchmatch.h:199-218`; the Pallas probe kernel's
+        # in_range check is the same contract)
+        in_rng = (cand >= search.lower) & (cand <= search.upper)
+        cand_cost = jnp.where(in_rng, cand_cost, ev.worst)
+        accept = in_rng & _better(ev.traits, cand_cost, cost)
         disp = jnp.where(accept, cand, disp)
         cost = jnp.where(accept, cand_cost, cost)
     return disp, cost
@@ -395,7 +407,12 @@ def patch_match_flow(func: MatchingFunction, source_fv: jnp.ndarray,
             same = jnp.all(cand == flow, -1, keepdims=True)
             cand = jnp.where(same, flow + 1, cand)
             cc = ev.cost_field(cand)
-            accept = _better(ev.traits, cc, cost)
+            in_rng = ((cand[..., 0] >= search.lower0)
+                      & (cand[..., 0] <= search.upper0)
+                      & (cand[..., 1] >= search.lower1)
+                      & (cand[..., 1] <= search.upper1))
+            cc = jnp.where(in_rng, cc, ev.worst)
+            accept = in_rng & _better(ev.traits, cc, cost)
             flow = jnp.where(accept[..., None], cand, flow)
             cost = jnp.where(accept, cc, cost)
     return flow

@@ -102,3 +102,18 @@ class TestGuidedCv:
         disp = np.asarray(out.disp_estimate)
         inner = disp[8:-8, 8:-8 - true_d]
         assert (inner == true_d).mean() > 0.9
+
+
+def test_hierarchical_census_exact_words(rng):
+    """The guided-CV window costs must not round census uint32 words
+    through float one-hot matmuls; CENSUS hierarchical matching must
+    recover a constant disparity."""
+    base = rng.uniform(0.1, 1, (48, 64)).astype(np.float32)
+    true_d = 6
+    img_l = np.roll(base, true_d, axis=1)
+    out = hierarchical_truncated_cost_volume(
+        MatchingFunction.CENSUS, jnp.asarray(img_l), jnp.asarray(base),
+        3, 3, disp_width=16, depth=2)
+    disp = np.asarray(out.disp_estimate)
+    inner = disp[8:-8, 8:-8 - true_d]
+    assert (inner == true_d).mean() > 0.9, (inner == true_d).mean()

@@ -123,3 +123,31 @@ def test_patchmatch_pallas_backend_quality(rng):
                               key=jax.random.PRNGKey(7), backend="pallas")
     inner = np.asarray(disp)[6:-6, 6:-6 - true_d]
     assert (inner == true_d).mean() > 0.95
+
+
+def test_patchmatch_census_exact_words(rng):
+    """Census words are packed uint32 bit patterns: the random-search
+    cost path must not round them through float matmuls (bf16/f32
+    one-hot) — CENSUS PatchMatch must recover a constant disparity."""
+    base = rng.uniform(0.1, 1, (40, 56)).astype(np.float32)
+    true_d = 5
+    img_l = np.roll(base, true_d, axis=1)
+    from libstevi_tpu.core.search import SearchOffset1
+    from libstevi_tpu.ops.patchmatch import patch_match
+    disp = np.asarray(patch_match(
+        MatchingFunction.CENSUS, jnp.asarray(img_l), jnp.asarray(base),
+        SearchOffset1(0, 15), h_radius=3, v_radius=3, n_iter=5))
+    inner = disp[6:-6, 6:-6 - true_d]
+    assert (inner == true_d).mean() > 0.9, (inner == true_d).mean()
+
+
+def test_patchmatch_respects_search_range(rng):
+    """Random-search +1 nudges must not escape [lower, upper]."""
+    base = rng.uniform(0.1, 1, (24, 32)).astype(np.float32)
+    from libstevi_tpu.core.search import SearchOffset1
+    from libstevi_tpu.ops.patchmatch import patch_match
+    so = SearchOffset1(2, 9)
+    disp = np.asarray(patch_match(
+        MatchingFunction.NCC, jnp.asarray(base), jnp.asarray(base),
+        so, h_radius=2, v_radius=2, n_iter=4))
+    assert disp.min() >= 2 and disp.max() <= 9, (disp.min(), disp.max())
