@@ -60,8 +60,9 @@ def max_flow_min_cut(n_vertices: int, edges, capacities, source: int,
                 reachable[v] = True
                 stack.append(v)
 
-    cut = [(int(u), int(v)) for (u, v) in edges
-           if reachable[u] and not reachable[v]]
+    e = np.asarray(edges)
+    m = reachable[e[:, 0]] & ~reachable[e[:, 1]]
+    cut = [(int(u), int(v)) for u, v in e[m]]
     return MaxFlowResult(max_flow=res.flow_value / scale,
                          source_side=reachable, cut_edges=cut)
 

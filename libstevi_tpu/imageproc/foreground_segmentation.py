@@ -51,8 +51,13 @@ def get_global_refined_mask(cost: np.ndarray, switch_cost: float,
     """cost: (H, W, 2) with [..., 0] = cost of labeling Background and
     [..., 1] = cost of labeling Foreground; returns (H, W) MaskInfo.
 
-    With a guide image, the pairwise cost follows `GuidedMaskCostPolicy`:
-    min_switch + (switch - min_switch) * exp(-(dI)^2 / 2 sigma^2).
+    With a guide image, the pairwise cost follows `GuidedMaskCostPolicy`
+    (`foregroundSegmentation.h:277-340`): delta = per-channel SUM of
+    absolute guide differences, weight = (max_d - delta)/(max_d - min_d)
+    normalized by the global min/max over all 4-neighbor pairs, and
+    cost = min_switch + (switch - min_switch) * weight.  (``guide_sigma``
+    is accepted for back-compat and unused — the reference's law is the
+    globally-normalized linear ramp, not a Gaussian.)
     """
     from ..graphs.flow import max_flow_min_cut
 
@@ -63,20 +68,28 @@ def get_global_refined_mask(cost: np.ndarray, switch_cost: float,
 
     # terminal edges: source->pixel with the cost of labeling BACKGROUND
     # (cut when the pixel goes background), pixel->sink with the FOREGROUND
-    # labeling cost — so the min cut pays each pixel's chosen label cost.
-    w_fg = np.maximum(cost[..., 1].ravel(), 0)
-    w_bg = np.maximum(cost[..., 0].ravel(), 0)
+    # labeling cost.  Only the per-pixel DIFFERENCE matters for the cut,
+    # so shift both by their minimum instead of clipping at zero —
+    # clipping destroys the relative preference for negative costs
+    # (e.g. log-likelihood ratios; `addLinearCost` semantics,
+    # `foregroundSegmentation.h:355-389`).
+    shift = np.minimum(cost[..., 0], cost[..., 1]).ravel()
+    w_bg = cost[..., 0].ravel() - shift
+    w_fg = cost[..., 1].ravel() - shift
 
     if guide is not None:
         g = np.asarray(guide, np.float64)
-        if g.ndim == 3:
-            g = g.mean(-1)
-        dh = np.abs(g[:, 1:] - g[:, :-1])
-        dv = np.abs(g[1:, :] - g[:-1, :])
-        wh = min_switch_cost + (switch_cost - min_switch_cost) \
-            * np.exp(-(dh ** 2) / (2 * guide_sigma ** 2))
-        wv = min_switch_cost + (switch_cost - min_switch_cost) \
-            * np.exp(-(dv ** 2) / (2 * guide_sigma ** 2))
+        if g.ndim == 2:
+            g = g[..., None]
+        dh = np.abs(g[:, 1:] - g[:, :-1]).sum(-1)   # channel SUM (:322)
+        dv = np.abs(g[1:, :] - g[:-1, :]).sum(-1)
+        dmin = min(dh.min(), dv.min())
+        dmax = max(dh.max(), dv.max())
+        rng = max(dmax - dmin, 1e-12)
+        lo = min(switch_cost, min_switch_cost)
+        hi = max(switch_cost, min_switch_cost)
+        wh = lo + (hi - lo) * (dmax - dh) / rng
+        wv = lo + (hi - lo) * (dmax - dv) / rng
     else:
         wh = np.full((H, W - 1), switch_cost)
         wv = np.full((H - 1, W), switch_cost)
@@ -127,12 +140,87 @@ def hierarchical_global_refined_mask(costs, switch_cost: float,
         grown = np.asarray(dilation(jnp.asarray(m), radius=band))
         shrunk = -np.asarray(dilation(jnp.asarray(-m), radius=band))
         boundary = (grown != shrunk)
-        # pin non-boundary pixels
-        BIG = 1e6
-        c = np.asarray(cost, np.float64).copy()
-        pin_fg = (~boundary) & (up == MaskInfo.FOREGROUND)
-        pin_bg = (~boundary) & (up == MaskInfo.BACKGROUND)
-        c[pin_fg, 0] = BIG   # forbid background
-        c[pin_bg, 1] = BIG   # forbid foreground
-        mask = get_global_refined_mask(c, switch_cost, guide)
+        mask = _refine_band(np.asarray(cost, np.float64), up, boundary,
+                            switch_cost, guide)
     return mask
+
+
+def _refine_band(cost, up, boundary, switch_cost, guide):
+    """Re-optimize only the boundary band (`getPartialGlobalRefinedMask`
+    semantics): a subgraph over band pixels with the pinned neighbors'
+    pairwise costs folded into the band pixels' terminal costs — exact,
+    and without the huge pin capacities that would quantize the real
+    costs away under max_flow's integer scaling."""
+    from ..graphs.flow import max_flow_min_cut
+
+    H, W, _ = cost.shape
+    if not boundary.any():
+        return up.copy()
+    node = np.full((H, W), -1, np.int64)
+    ys, xs = np.nonzero(boundary)
+    nb = len(ys)
+    node[ys, xs] = np.arange(nb)
+
+    if guide is not None:
+        g = np.asarray(guide, np.float64)
+        if g.ndim == 2:
+            g = g[..., None]
+        dh = np.abs(g[:, 1:] - g[:, :-1]).sum(-1)
+        dv = np.abs(g[1:, :] - g[:-1, :]).sum(-1)
+        dmin = min(dh.min(), dv.min())
+        dmax = max(dh.max(), dv.max())
+        rng = max(dmax - dmin, 1e-12)
+        wh = (dmax - dh) / rng * switch_cost
+        wv = (dmax - dv) / rng * switch_cost
+    else:
+        wh = np.full((H, W - 1), switch_cost)
+        wv = np.full((H - 1, W), switch_cost)
+
+    shiftv = np.minimum(cost[..., 0], cost[..., 1])
+    w_bg = (cost[..., 0] - shiftv)[ys, xs]
+    w_fg = (cost[..., 1] - shiftv)[ys, xs]
+
+    eu, ev, ew = [], [], []
+    for (dy, dx, wmap) in ((0, 1, wh), (1, 0, wv)):
+        ay, ax = ys, xs
+        byy, bxx = ys + dy, xs + dx
+        ok = (byy < H) & (bxx < W)
+        ay, ax, byy, bxx = ay[ok], ax[ok], byy[ok], bxx[ok]
+        wpair = wmap[ay, ax] if dy == 0 else wmap[ay, ax]
+        na, nbr = node[ay, ax], node[byy, bxx]
+        both = nbr >= 0
+        # band-band edges (both directions)
+        eu += [na[both], nbr[both]]
+        ev += [nbr[both], na[both]]
+        ew += [wpair[both], wpair[both]]
+        # band-pinned edges fold into the band pixel's terminal cost:
+        # labeling it opposite the pinned neighbor cuts the pair edge
+        pin = ~both
+        pfg = pin & (up[byy, bxx] == MaskInfo.FOREGROUND)
+        pbg = pin & (up[byy, bxx] == MaskInfo.BACKGROUND)
+        np.add.at(w_bg, na[pfg], wpair[pfg])
+        np.add.at(w_fg, na[pbg], wpair[pbg])
+        # and the mirrored orientation (pinned pixel first)
+        oy, ox = ys - dy, xs - dx
+        ok2 = (oy >= 0) & (ox >= 0)
+        oy, ox = oy[ok2], ox[ok2]
+        cy, cx = ys[ok2], xs[ok2]
+        pin2 = node[oy, ox] < 0
+        w2 = wmap[oy, ox]
+        p2fg = pin2 & (up[oy, ox] == MaskInfo.FOREGROUND)
+        p2bg = pin2 & (up[oy, ox] == MaskInfo.BACKGROUND)
+        np.add.at(w_bg, node[cy, cx][p2fg], w2[p2fg])
+        np.add.at(w_fg, node[cy, cx][p2bg], w2[p2bg])
+
+    source, target = nb, nb + 1
+    pix = np.arange(nb)
+    edges = np.concatenate([
+        np.stack([np.full(nb, source), pix], 1),
+        np.stack([pix, np.full(nb, target)], 1),
+        np.stack([np.concatenate(eu), np.concatenate(ev)], 1)])
+    caps = np.concatenate([w_bg, w_fg, np.concatenate(ew)])
+    res = max_flow_min_cut(nb + 2, edges, caps, source, target)
+    out = up.copy()
+    out[ys, xs] = np.where(res.source_side[:nb], MaskInfo.FOREGROUND,
+                           MaskInfo.BACKGROUND)
+    return out

@@ -12,6 +12,7 @@ MXU), with a fixed iteration count for jit.
 from __future__ import annotations
 
 import jax
+import numpy as np
 import jax.numpy as jnp
 
 
@@ -33,6 +34,17 @@ def mean_shift_clustering(features: jnp.ndarray, bandwidth: float,
     tol = bandwidth / 2.0 if merge_tol is None else merge_tol
     d2 = jnp.sum((modes[:, None, :] - modes[None, :, :]) ** 2, -1)
     same = d2 <= tol * tol
-    # label = index of first point sharing the mode
-    labels = jnp.argmax(same, axis=1)
+    # transitively close the proximity relation before labeling: chains
+    # of modes within tolerance must share ONE canonical label (argmax
+    # of the raw relation can name a point that itself carries a
+    # different label).  log2(n) squarings of the boolean adjacency.
+    n = same.shape[0]
+    steps = max(1, int(np.ceil(np.log2(max(n, 2)))))
+    closed = same
+
+    def _close(_, m):
+        return (m @ m.astype(jnp.float32) > 0) | m
+
+    closed = jax.lax.fori_loop(0, steps, _close, closed)
+    labels = jnp.argmax(closed, axis=1)
     return modes, labels

@@ -179,16 +179,27 @@ def refine_barycentric_symmetric_disp(
     return jnp.where(valid, refined, d.astype(jnp.float32))
 
 
+_CORNER_DIRS = {Contiguity.QUEEN: ((1, 1), (1, 0), (0, 1)),
+                Contiguity.ROOK: ((1, 0), (0, 1)),
+                Contiguity.BISHOP: ((1, 1),)}
+
+
 def refine_barycentric_2d_disp(func: MatchingFunction, source_fv: jnp.ndarray,
                                target_fv: jnp.ndarray,
                                selected_index: jnp.ndarray,
+                               search=None,
+                               contiguity: Contiguity = Contiguity.QUEEN,
                                test_sets_idxs=None) -> jnp.ndarray:
     """2-D barycentric refinement of an (H, W, 2) flow field
-    (`refineBarycentric2dDisp`, `image_based_refinement.h:679`): per axis,
-    barycentric best approximation between the matched target feature and
-    its +-1 neighbors along that axis; candidate deltas accepted in (0, 1)
-    when the comparison improves (the 2-D analogue of
-    `refine_barycentric_disp`)."""
+    (`refineBarycentric2dDisp`, `image_based_refinement.h:679-883`): for
+    each quadrant (dir_x, dir_y) in {1,-1}^2, one barycentric best
+    approximation over the contiguity's corner directions plus the
+    center (`contiguity.h:140-160`: Queen = {(1,1),(1,0),(0,1)}); the
+    joint delta (sum alpha_k * dir_k) is accepted when |delta0| <= 1 and
+    |delta1| <= 1 and the re-evaluated comparison improves, best kept
+    across quadrants.  Entries whose WTA flow falls outside ``search``
+    (a `SearchOffset2`, when given) pass through unrefined, like the
+    reference's searchWindows gate."""
     H, W, F = target_fv.shape
     d = selected_index.astype(jnp.int32)
     ii = jnp.arange(H, dtype=jnp.int32)[:, None]
@@ -197,6 +208,10 @@ def refine_barycentric_2d_disp(func: MatchingFunction, source_fv: jnp.ndarray,
     tj = jnp.clip(jj + d[..., 1], 1, W - 2)
     valid = ((ii + d[..., 0] >= 1) & (ii + d[..., 0] < H - 1)
              & (jj + d[..., 1] >= 1) & (jj + d[..., 1] < W - 1))
+    if search is not None:
+        valid = (valid
+                 & (d[..., 0] >= search.lower0) & (d[..., 0] <= search.upper0)
+                 & (d[..., 1] >= search.lower1) & (d[..., 1] <= search.upper1))
 
     def grab(di, dj):
         return target_fv[ti + di, tj + dj]
@@ -212,33 +227,31 @@ def refine_barycentric_2d_disp(func: MatchingFunction, source_fv: jnp.ndarray,
     def better(a, b):
         return a > b if is_score else a < b
 
-    def axis_delta(tp, tm, score):
-        flat = lambda x: x.reshape(-1, F)
+    dirs = _CORNER_DIRS[contiguity]
+    nd = len(dirs) + 1
+    flat = lambda x: x.reshape(-1, F)
 
-        def solve_pair(a0, a1, b):
-            return solver(jnp.stack([a0, a1], -1), b)
-
-        cp = jax.vmap(solve_pair)(flat(t0), flat(tp), flat(src)).reshape(
-            H, W, 2)
-        cm = jax.vmap(solve_pair)(flat(tm), flat(t0), flat(src)).reshape(
-            H, W, 2)
-        dd_p = cp[..., 1]
-        dd_m = cm[..., 0]
-        ip = _maybe_normalize(func, t0 * cp[..., 0:1] + tp * cp[..., 1:2])
-        im = _maybe_normalize(func, tm * cm[..., 0:1] + t0 * cm[..., 1:2])
-        sp = feature_comparison(func, src_n, ip)
-        sm = feature_comparison(func, src_n, im)
-        delta = jnp.zeros((H, W), jnp.float32)
-        ok_p = (dd_p > 0) & (dd_p < 1) & better(sp, score)
-        delta = jnp.where(ok_p, dd_p, delta)
-        score = jnp.where(ok_p, sp, score)
-        ok_m = (dd_m > 0) & (dd_m < 1) & better(sm, score)
-        delta = jnp.where(ok_m, -dd_m, delta)
-        score = jnp.where(ok_m, sm, score)
-        return delta, score
-
-    delta0, s0 = axis_delta(grab(1, 0), grab(-1, 0), base_score)
-    delta1, _ = axis_delta(grab(0, 1), grab(0, -1), base_score)
+    delta0 = jnp.zeros((H, W), jnp.float32)
+    delta1 = jnp.zeros((H, W), jnp.float32)
+    score = base_score
+    for dx in (1, -1):
+        for dy in (1, -1):
+            cols = [grab(sd[0] * dx, sd[1] * dy) for sd in dirs] + [t0]
+            A = jnp.stack(cols, -1)                 # (H, W, F, nd)
+            alphas = jax.vmap(solver)(A.reshape(-1, F, nd),
+                                      flat(src)).reshape(H, W, nd)
+            td0 = sum(alphas[..., k] * (dirs[k][0] * dx)
+                      for k in range(len(dirs)))
+            td1 = sum(alphas[..., k] * (dirs[k][1] * dy)
+                      for k in range(len(dirs)))
+            interp = _maybe_normalize(
+                func, jnp.einsum("hwfn,hwn->hwf", A, alphas))
+            s = feature_comparison(func, src_n, interp)
+            ok = ((jnp.abs(td0) <= 1.0) & (jnp.abs(td1) <= 1.0)
+                  & better(s, score))
+            delta0 = jnp.where(ok, td0, delta0)
+            delta1 = jnp.where(ok, td1, delta1)
+            score = jnp.where(ok, s, score)
 
     refined = d.astype(jnp.float32) + jnp.stack([delta0, delta1], -1)
     return jnp.where(valid[..., None], refined, d.astype(jnp.float32))
@@ -247,13 +260,21 @@ def refine_barycentric_2d_disp(func: MatchingFunction, source_fv: jnp.ndarray,
 def refine_cost_symmetric_disp(func: MatchingFunction, fv_l, fv_r,
                                selected_index, disp_width,
                                direction=DispDirection.RIGHT_TO_LEFT,
-                               kernel=None) -> jnp.ndarray:
-    """Cost-based symmetric refinement from feature volumes
-    (`refineCostSymmetricDisp`, `image_based_refinement.h:1592`): evaluate
-    the comparison at jd-1, jd, jd+1 and interpolate the cost triplet."""
-    from .refinement import refine_cost_triplet, InterpolationKernel
-    if kernel is None:
-        kernel = InterpolationKernel.PARABOLA
+                               cost_volume=None) -> jnp.ndarray:
+    """Cost-based symmetric refinement (`refineCostSymmetricDisp`,
+    `image_based_refinement.h:1592-1688`): a parabola delta from the
+    COST-VOLUME triplet cv[i,j,d-1..d+1] is averaged with a second delta
+    from a HALF-PIXEL-interpolated source (0.5 src(j) + 0.5 src(j+dir),
+    dir opposing the first delta; delta2 = parabola(f) - 0.5 dir,
+    accepted when |delta2| < 1).  The correction applies WITHOUT
+    deltaSign (the reference emits d + delta directly, `:1688`).  The
+    parabola formula is sign-invariant, so Cost and Score functions
+    share it, as in the reference.
+
+    ``cost_volume`` is the WTA volume; recomputed from the feature
+    volumes when omitted.  Documented deviation: degenerate flat
+    triplets (zero second difference) return the unrefined d instead of
+    the reference's inf."""
     sign = direction.delta_sign
     source_fv, target_fv = ((fv_r, fv_l)
                             if direction is DispDirection.RIGHT_TO_LEFT
@@ -262,16 +283,44 @@ def refine_cost_symmetric_disp(func: MatchingFunction, fv_l, fv_r,
     d = selected_index.astype(jnp.int32)
     jj = jnp.arange(W, dtype=jnp.int32)[None, :]
     jd = jj + sign * d
-    valid = (jd >= 1) & (jd + 1 < W) & (d != 0) & (d + 1 < disp_width)
 
-    cm1 = feature_comparison(func, source_fv, _gather_cols(target_fv, jd - 1))
-    c0 = feature_comparison(func, source_fv, _gather_cols(target_fv, jd))
-    c1 = feature_comparison(func, source_fv, _gather_cols(target_fv, jd + 1))
-    if MATCH_TRAITS[func].strategy is ExtractionStrategy.SCORE:
-        cm1, c0, c1 = -cm1, -c0, -c1
-    delta = refine_cost_triplet(kernel, cm1, c0, c1)
-    delta = jnp.where(jnp.abs(delta) < 1, delta, 0.0)
-    out = d.astype(jnp.float32) + sign * delta
+    if cost_volume is None:
+        from .cost_volume import feature_volume_to_cost_volume
+        cost_volume = feature_volume_to_cost_volume(func, fv_l, fv_r,
+                                                    disp_width, direction)
+    D = cost_volume.shape[-1]
+    jjb = jnp.broadcast_to(jj, d.shape)
+    valid = (jjb > 1) & (jjb + 1 < W) & (d > 0) & (d + 1 < D)
+
+    def cv_at(dd):
+        return jnp.take_along_axis(cost_volume,
+                                   jnp.clip(dd, 0, D - 1)[..., None],
+                                   -1)[..., 0]
+
+    cm1, c0, c1 = cv_at(d - 1), cv_at(d), cv_at(d + 1)
+    den = 2.0 * (c1 - 2.0 * c0 + cm1)
+    delta = (cm1 - c1) / jnp.where(den != 0, den, 1.0)
+    delta = jnp.where(den != 0, delta, 0.0)
+
+    dir_ = jnp.where(delta > 0, -1, 1).astype(jnp.int32)
+    inner = (jd > 1) & (jd + 1 < W)
+    src_half = _maybe_normalize(
+        func, 0.5 * source_fv + 0.5 * _gather_cols(source_fv, jjb + dir_))
+    fm1 = feature_comparison(
+        func, src_half, _maybe_normalize(func, _gather_cols(target_fv,
+                                                            jd - 1)))
+    f0 = feature_comparison(
+        func, src_half, _maybe_normalize(func, _gather_cols(target_fv, jd)))
+    f1 = feature_comparison(
+        func, src_half, _maybe_normalize(func, _gather_cols(target_fv,
+                                                            jd + 1)))
+    den2 = 2.0 * (f1 - 2.0 * f0 + fm1)
+    delta2 = (fm1 - f1) / jnp.where(den2 != 0, den2, 1.0) \
+        - dir_.astype(jnp.float32) * 0.5
+    use2 = inner & (jnp.abs(delta2) < 1.0) & (den2 != 0)
+    delta = jnp.where(use2, 0.5 * (delta + delta2), delta)
+
+    out = d.astype(jnp.float32) + delta
     return jnp.where(valid, out, d.astype(jnp.float32))
 
 
@@ -305,7 +354,8 @@ def refine_subpart_barycentric_2d_disp(func, source_fv, target_fv,
     """`refineSubpartBarycentric2dDisp`
     (`image_based_refinement.h:885-1066`)."""
     return refine_barycentric_2d_disp(func, source_fv, target_fv,
-                                      selected_index, test_sets_idxs)
+                                      selected_index,
+                                      test_sets_idxs=test_sets_idxs)
 
 
 # ---------------------------------------------------------------------------
@@ -577,38 +627,52 @@ def refine_arbitrary_interpolation_2d_disp(
     best_d0 = d0.astype(jnp.float32)
     best_d1 = d1.astype(jnp.float32)
 
-    for a in range(n):
-        for b in range(n):
-            feat = interp_at(wi[a], wi[b])
-            dd0 = jnp.full((H, W), cuts[a], jnp.float32)
-            dd1 = jnp.full((H, W), cuts[b], jnp.float32)
-            if with_additional_refine:
-                # square corners at (0,0), (-bw,0), (0,-bw), (-bw,-bw)
-                A1 = interp_at(wi_prev[a], wi[b])
-                A2 = interp_at(wi[a], wi_prev[b])
-                A3 = interp_at(wi_prev[a], wi_prev[b])
-                A = jnp.stack([feat, A1, A2, A3], -1)
+    # the (a, b) candidate grid runs as ONE lax.scan over n^2 steps
+    # (unrolling it traced n^2 einsum + vmapped-solver fan-outs into the
+    # graph — minutes of compile at the default n=20 — for identical
+    # values; memory stays at one candidate's working set)
+    ga, gb = np.divmod(np.arange(n * n), n)
+    cuts_arr = jnp.asarray(cuts, jnp.float32)
+    xs = (jnp.asarray(wi)[ga], jnp.asarray(wi)[gb],
+          jnp.asarray(wi_prev)[ga], jnp.asarray(wi_prev)[gb],
+          cuts_arr[ga], cuts_arr[gb])
 
-                co = jax.vmap(solver)(A.reshape(-1, F, 4),
-                                      source_fv.reshape(-1, F))
-                co = co.reshape(H, W, 4)
-                ok = ((co[..., 0] > 0) & (co[..., 0] < 1)
-                      & (co[..., 1] > 0) & (co[..., 1] < 1)
-                      & (co[..., 2] > 0) & (co[..., 2] < 1))
-                ci = -bw * (co[..., 1] + co[..., 3])
-                cj = -bw * (co[..., 2] + co[..., 3])
-                dd0 = dd0 + jnp.where(ok, ci, 0.0)
-                dd1 = dd1 + jnp.where(ok, cj, 0.0)
-                feat = jnp.where(ok[..., None],
-                                 jnp.einsum("hwfn,hwn->hwf", A, co), feat)
-            cost = feature_comparison(func, src_n,
-                                      _maybe_normalize(func, feat))
-            if is_score:
-                cost = -cost
-            win = cost < best_cost
-            best_cost = jnp.where(win, cost, best_cost)
-            best_d0 = jnp.where(win, d0 + dd0, best_d0)
-            best_d1 = jnp.where(win, d1 + dd1, best_d1)
+    def body(carry, x):
+        best_cost, best_d0, best_d1 = carry
+        wa, wb, wpa, wpb, ca, cb = x
+        feat = interp_at(wa, wb)
+        dd0 = jnp.broadcast_to(ca, (H, W))
+        dd1 = jnp.broadcast_to(cb, (H, W))
+        if with_additional_refine:
+            # square corners at (0,0), (-bw,0), (0,-bw), (-bw,-bw)
+            A1 = interp_at(wpa, wb)
+            A2 = interp_at(wa, wpb)
+            A3 = interp_at(wpa, wpb)
+            A = jnp.stack([feat, A1, A2, A3], -1)
+            co = jax.vmap(solver)(A.reshape(-1, F, 4),
+                                  source_fv.reshape(-1, F))
+            co = co.reshape(H, W, 4)
+            ok = ((co[..., 0] > 0) & (co[..., 0] < 1)
+                  & (co[..., 1] > 0) & (co[..., 1] < 1)
+                  & (co[..., 2] > 0) & (co[..., 2] < 1))
+            ci = -bw * (co[..., 1] + co[..., 3])
+            cj = -bw * (co[..., 2] + co[..., 3])
+            dd0 = dd0 + jnp.where(ok, ci, 0.0)
+            dd1 = dd1 + jnp.where(ok, cj, 0.0)
+            feat = jnp.where(ok[..., None],
+                             jnp.einsum("hwfn,hwn->hwf", A, co), feat)
+        cost = feature_comparison(func, src_n,
+                                  _maybe_normalize(func, feat))
+        if is_score:
+            cost = -cost
+        win = cost < best_cost
+        best_cost = jnp.where(win, cost, best_cost)
+        best_d0 = jnp.where(win, d0 + dd0, best_d0)
+        best_d1 = jnp.where(win, d1 + dd1, best_d1)
+        return (best_cost, best_d0, best_d1), None
+
+    (best_cost, best_d0, best_d1), _ = jax.lax.scan(
+        body, (best_cost, best_d0, best_d1), xs)
 
     refined = jnp.stack([best_d0, best_d1], -1)
     return jnp.where(valid[..., None], refined, d.astype(jnp.float32))
@@ -688,13 +752,14 @@ def refined_barycentric_disp_fv(
 
 def refined_cost_symmetric_disp_fv(
         func, fv_l, fv_r, search_range: int,
-        direction=DispDirection.RIGHT_TO_LEFT, pre_normalize: bool = False,
-        kernel=None):
+        direction=DispDirection.RIGHT_TO_LEFT, pre_normalize: bool = False):
     """`refinedCostSymmetricDispFeatureVol` (:2352)."""
+    from .cost_volume import aggregate_cost, extract_selected_index
     (cl, cr), (rl, rr) = _trait_volumes(func, fv_l, fv_r, pre_normalize)
-    idx = _cv_and_index(func, cl, cr, search_range, direction)
+    cv = aggregate_cost(func, cl, cr, search_range, direction)
+    idx = extract_selected_index(cv, MATCH_TRAITS[func].strategy)
     return refine_cost_symmetric_disp(func, rl, rr, idx, search_range,
-                                      direction, kernel)
+                                      direction, cost_volume=cv)
 
 
 def refined_barycentric_2d_disp_fv(
@@ -710,7 +775,8 @@ def refined_barycentric_2d_disp_fv(
     d = selected_2d_index_to_disp(idx, search)
     src, tgt = ((rr, rl) if direction is DispDirection.RIGHT_TO_LEFT
                 else (rl, rr))
-    return refine_barycentric_2d_disp(func, src, tgt, d, test_sets_idxs)
+    return refine_barycentric_2d_disp(func, src, tgt, d, search=search,
+                                      test_sets_idxs=test_sets_idxs)
 
 
 def refined_barycentric_symmetric_2d_disp_fv(
@@ -766,14 +832,13 @@ def refined_barycentric_disp(
 
 def refined_cost_symmetric_disp(
         func, img_l, img_r, h_radius: int, v_radius: int, search_range: int,
-        direction=DispDirection.RIGHT_TO_LEFT, pre_normalize: bool = False,
-        kernel=None):
+        direction=DispDirection.RIGHT_TO_LEFT, pre_normalize: bool = False):
     """`refinedCostSymmetricDisp` (:2574)."""
     from .unfold import unfold
     fv_l = unfold(h_radius, v_radius, img_l)
     fv_r = unfold(h_radius, v_radius, img_r)
     return refined_cost_symmetric_disp_fv(func, fv_l, fv_r, search_range,
-                                          direction, pre_normalize, kernel)
+                                          direction, pre_normalize)
 
 
 def refined_barycentric_2d_disp(

@@ -94,6 +94,9 @@ def refine_disp_2d_cost_interpolation(
     (`refineDisp2dCostInterpolation`, `cost_based_refinement.h:166-376`)."""
     H, W, S0, S1 = truncated_cv.shape
     r0, r1 = (S0 - 1) // 2, (S1 - 1) // 2
+    if S0 % 2 == 0 or S1 % 2 == 0:
+        raise ValueError("2-D truncated cost volume widths must be odd "
+                         "(2r+1; `cost_based_refinement.h:180`)")
     if r0 < 1 or r1 < 1:
         raise ValueError("2-D truncated cost volume radii must be >= 1")
     tcv = truncated_cv.astype(jnp.float32)
