@@ -151,8 +151,13 @@ def estimate_shape_preserving_map(obs: jnp.ndarray, pts: jnp.ndarray,
         change = ShapePreservingTransform(delta[:3], delta[3:6],
                                           jnp.exp(delta[6]))
         new = change * cur
-        n = jnp.linalg.norm(delta)
-        converged = (n / damping) < incr_limit
+        # convergence measures the UNDAMPED step: each component divides
+        # by its own damping (a single /damping under-measured the scale
+        # increment by damping_scale/damping and could declare
+        # convergence while the scale still moved)
+        und = jnp.concatenate([delta[:6] / damping,
+                               delta[6:] / damping_scale])
+        converged = jnp.linalg.norm(und) < incr_limit
         return (new.r, new.t, new.s, it + 1, done | converged)
 
     def cond(state):
@@ -161,6 +166,9 @@ def estimate_shape_preserving_map(obs: jnp.ndarray, pts: jnp.ndarray,
     init = (jnp.zeros(3), jnp.zeros(3), jnp.asarray(1.0), jnp.int32(0),
             jnp.bool_(False))
     r, t, s, it, done = jax.lax.while_loop(cond, step, init)
-    status = IterativeTermination.CONVERGED if bool(done) \
-        else IterativeTermination.MAX_STEP_REACHED
+    try:
+        status = IterativeTermination.CONVERGED if bool(done) \
+            else IterativeTermination.MAX_STEP_REACHED
+    except jax.errors.TracerBoolConversionError:
+        status = None                  # inside jit/vmap: done is traced
     return ShapePreservingResult(ShapePreservingTransform(r, t, s), status)

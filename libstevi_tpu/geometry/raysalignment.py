@@ -115,7 +115,19 @@ def robust_align_rays_sets(rays1: RayInfos, rays2: RayInfos,
     def residual(params, d):
         return _coplanarity_residuals(params, *d)
 
+    def refit(d, w):
+        # weighted GN on the winner's inliers (`:600` refines on the
+        # consensus set, not the 6-ray minimal sample)
+        o1, v1, o2, v2 = d
+
+        def wres(params, o1, v1, o2, v2):
+            return _coplanarity_residuals(params, o1, v1, o2, v2) * w
+
+        gn = GaussNewton(wres, iters=20, damping=1e-8)
+        return gn.solve(jnp.zeros(6), o1, v1, o2, v2).x
+
     res = ransac(fit, residual, data, n_samples=6,
-                 n_iterations=n_iterations, threshold=threshold, key=key)
+                 n_iterations=n_iterations, threshold=threshold, key=key,
+                 refit_fn=refit)
     x = res.model
     return AffineTransform(rodrigues_formula(x[:3]), x[3:])

@@ -233,7 +233,8 @@ def interpolate_rigid_body_transform_on_manifold(
 
 
 def euler_radxyz_to_rotation(rx, ry, rz) -> jnp.ndarray:
-    """R = Rz @ Ry @ Rx (XYZ intrinsic; `eulerRadXYZToRotation`,
+    """R = Rz @ Ry @ Rx (XYZ EXTRINSIC, equivalently ZYX intrinsic;
+    `eulerRadXYZToRotation`,
     `rotations.h:539`)."""
     ex = jnp.stack([jnp.asarray(rx), jnp.zeros_like(jnp.asarray(rx)),
                     jnp.zeros_like(jnp.asarray(rx))], -1)

@@ -43,9 +43,20 @@ def average_pooling_downsample(image: jnp.ndarray, h_window: int,
     pad_bottom = new_h * v_window - H - pad_top
     pad_right = new_w * h_window - W - pad_left
 
-    xp = jnp.pad(x, ((pad_top, pad_bottom), (pad_left, pad_right), (0, 0)))
-    ones = jnp.pad(jnp.ones((H, W, 1), jnp.float32),
-                   ((pad_top, pad_bottom), (pad_left, pad_right), (0, 0)))
+    # when the cross-applied offsets exceed the own-axis remainder the
+    # trailing rows/columns fall outside every window — the reference's
+    # bounds-checked taps simply never read them (`downsampling.h:105`),
+    # so CROP them rather than hand jnp.pad a negative width
+    x2, o2 = x, jnp.ones((H, W, 1), jnp.float32)
+    if pad_bottom < 0:
+        x2, o2 = x2[:pad_bottom], o2[:pad_bottom]
+        pad_bottom = 0
+    if pad_right < 0:
+        x2, o2 = x2[:, :pad_right], o2[:, :pad_right]
+        pad_right = 0
+
+    xp = jnp.pad(x2, ((pad_top, pad_bottom), (pad_left, pad_right), (0, 0)))
+    ones = jnp.pad(o2, ((pad_top, pad_bottom), (pad_left, pad_right), (0, 0)))
 
     win = (v_window, h_window, 1)
     sums = jax.lax.reduce_window(xp, 0.0, jax.lax.add, win, win, "VALID")

@@ -42,7 +42,12 @@ def l0_smoothing(image: jnp.ndarray, lam: float = 0.02,
     def body(state):
         S, beta = state
         gx, gy = grad(S)
+        # Xu et al. threshold the CHANNEL-SUMMED gradient magnitude
+        # jointly (per-channel decisions erase color edges whose
+        # channels are individually weak)
         mag = gx * gx + gy * gy
+        if mag.ndim == 3:
+            mag = jnp.sum(mag, -1, keepdims=True)
         keep = mag >= lam / beta
         hx = jnp.where(keep, gx, 0.0)
         hy = jnp.where(keep, gy, 0.0)

@@ -25,11 +25,19 @@ _MAX_SUBSETS = 512
 
 
 def _subsets(n: int, k: int, cap: int = _MAX_SUBSETS) -> np.ndarray:
-    combos = []
-    for i, c in enumerate(itertools.combinations(range(n), k)):
-        if i >= cap:
-            break
-        combos.append(c)
+    """All k-subsets when they fit under ``cap``; otherwise ``cap``
+    subsets sampled uniformly with a fixed seed.  A lexicographic PREFIX
+    would put the first rows in every subset — one outlier there would
+    then contaminate every candidate model, defeating LMedS entirely."""
+    import math
+    total = math.comb(n, k)
+    if total <= cap:
+        return np.asarray(list(itertools.combinations(range(n), k)),
+                          np.int32)
+    rng = np.random.default_rng(0)
+    picks = {tuple(np.sort(rng.choice(n, k, replace=False)))
+             for _ in range(2 * cap)}
+    combos = sorted(picks)[:cap]
     return np.asarray(combos, np.int32)
 
 

@@ -44,9 +44,13 @@ def inlier_mae(disp, gt, threshold: float = 2.0) -> float:
 
 def end_point_error(flow, gt_flow) -> float:
     """Mean euclidean end-point error of an (H, W, 2) flow field vs GT
-    (the optical-flow analogue of the disparity MAE)."""
+    (the optical-flow analogue of the disparity MAE).  Validity masks on
+    the GROUND TRUTH only: a non-finite *estimate* at a GT-valid pixel
+    propagates NaN into the mean (loud), consistent with `prop_good`'s
+    invalid-estimate-counts-as-bad semantics — masking on the estimate
+    would let a mostly-NaN flow score perfectly."""
     flow = np.asarray(flow, np.float64)
     gt = np.asarray(gt_flow, np.float64)
     d = np.linalg.norm(flow - gt, axis=-1)
-    valid = np.isfinite(d)
+    valid = np.isfinite(gt).all(-1)
     return float(d[valid].mean()) if valid.any() else float("nan")
