@@ -114,7 +114,11 @@ def box_cost_volume(func: MatchingFunction, img_l: jnp.ndarray,
     sum_s = box(_sum_c(src))
     sum_s2 = box(_sum_c(src * src))
     norm_s = jnp.sqrt(sum_s2)
-    sigma_s = jnp.sqrt(sum_s2 - sum_s * sum_s / n)
+    # clamp at 0: box(x^2) - box(x)^2/n cancels to ~-1e-6 in f32 on flat
+    # patches, and sqrt(negative) = NaN poisons the WTA argmin there —
+    # the reference's sum((s - mean)^2) is non-negative by construction
+    sigma_s = jnp.sqrt(jnp.maximum(sum_s2 - sum_s * sum_s / n, 0.0))
+    sad_boundary = box(_sum_c(jnp.abs(src)))    # loop-invariant: hoisted
 
     # Target statistics / images, pre-padded so each d is a static-size slice.
     sum_t_p = padw(box(_sum_c(tgt)))
@@ -142,7 +146,9 @@ def box_cost_volume(func: MatchingFunction, img_l: jnp.ndarray,
                 cost = cross
             elif func is MatchingFunction.NCC:
                 norm_t = jnp.sqrt(slice_w(sum_t2_p, shift, W))
-                cost = cross / (norm_s * norm_t)
+                den = norm_s * norm_t
+                cost = jnp.where(den > 0, cross / jnp.where(den > 0, den,
+                                                            1.0), 0.0)
             else:
                 sum_t = slice_w(sum_t_p, shift, W)
                 zcc = cross - sum_s * sum_t / n
@@ -150,15 +156,22 @@ def box_cost_volume(func: MatchingFunction, img_l: jnp.ndarray,
                     cost = zcc
                 else:
                     sum_t2 = slice_w(sum_t2_p, shift, W)
-                    sigma_t = jnp.sqrt(sum_t2 - sum_t * sum_t / n)
-                    cost = zcc / (sigma_s * sigma_t)
+                    sigma_t = jnp.sqrt(
+                        jnp.maximum(sum_t2 - sum_t * sum_t / n, 0.0))
+                    # zero-variance windows score 0 (uncorrelated) —
+                    # finite, unlike an unguarded 0/0 (the reference's
+                    # direct sums hit the same undefined case as NaN)
+                    den = sigma_s * sigma_t
+                    cost = jnp.where(den > 0,
+                                     zcc / jnp.where(den > 0, den, 1.0),
+                                     0.0)
             boundary = jnp.zeros((H, W), jnp.float32)
         else:
             t_dx = slice_w(tgt_xp, shift, Wx)
             d = src_x - t_dx
             if func is MatchingFunction.SAD:
                 cost = _valid_box(_sum_c(jnp.abs(d)), h_radius, v_radius)
-                boundary = box(_sum_c(jnp.abs(src)))
+                boundary = sad_boundary
             else:
                 ssd = _valid_box(_sum_c(d * d), h_radius, v_radius)
                 if func is MatchingFunction.SSD:

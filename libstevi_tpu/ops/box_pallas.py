@@ -113,7 +113,9 @@ def _kernel(src_ref, tgtp_ref, stats_ref, out_ref, scr_ref, *, DC, Hb,
             cost = cross
         elif kind == "ncc":
             den_t = jax.lax.slice_in_dim(tgt_b[2], k, k + Wp, axis=1)[c]
-            cost = cross / (den_s[c] * den_t)
+            den = den_s[c] * den_t
+            cost = jnp.where(den > 0, cross / jnp.where(den > 0, den, 1.0),
+                             0.0)
         else:                          # zcc / zncc
             sum_t = jax.lax.slice_in_dim(tgt_b[1], k, k + Wp, axis=1)[c]
             zcc = cross - sum_s[c] * sum_t * (1.0 / n)
@@ -122,7 +124,9 @@ def _kernel(src_ref, tgtp_ref, stats_ref, out_ref, scr_ref, *, DC, Hb,
             else:
                 den_t = jax.lax.slice_in_dim(tgt_b[2], k,
                                              k + Wp, axis=1)[c]
-                cost = zcc / (den_s[c] * den_t)
+                den = den_s[c] * den_t
+                cost = jnp.where(den > 0,
+                                 zcc / jnp.where(den > 0, den, 1.0), 0.0)
         in_range = jj + (d0 + k) < W1
         out_ref[k] = jnp.where(in_range, cost, 0.0).astype(cv_dtype)
     # advance the scratch to the next chunk's base disparity
@@ -187,12 +191,14 @@ def box_cost_volume_fused(func: MatchingFunction, img_l, img_r,
 
     sum_s = box(srcp)
     sum_s2 = box(srcp * srcp)
+    # max(0, .): float cancellation on flat patches makes the variance
+    # term slightly negative -> sqrt NaN (see box_backend note)
     den_s = jnp.sqrt(sum_s2) if kind == "ncc" \
-        else jnp.sqrt(sum_s2 - sum_s * sum_s / n)
+        else jnp.sqrt(jnp.maximum(sum_s2 - sum_s * sum_s / n, 0.0))
     sum_t = box(tgtp)
     sum_t2 = box(tgtp * tgtp)
     den_t = jnp.sqrt(sum_t2) if kind == "ncc" \
-        else jnp.sqrt(sum_t2 - sum_t * sum_t / n)
+        else jnp.sqrt(jnp.maximum(sum_t2 - sum_t * sum_t / n, 0.0))
 
     rowpad = ((pr, pr), (0, 0))
     srcp = jnp.pad(srcp, rowpad)

@@ -30,16 +30,15 @@ TPU design:
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Union
 
 import jax
+import numpy as np
 import jax.numpy as jnp
 
 from ..core.types import (MatchingFunction, MATCH_TRAITS, ExtractionStrategy,
                           DispDirection, TruncatedCvDirection, disp_dtype)
 from ..core.search import SearchOffset1, SearchOffset2
-from ..core.margins import PaddingMargins
 from .unfold import unfold
 from .census import census_features
 from .matching import feature_comparison
@@ -179,6 +178,17 @@ def aggregate_cost(func: MatchingFunction, fv_l: jnp.ndarray, fv_r: jnp.ndarray,
         backend = ("fused" if jax.default_backend() == "tpu"
                    and k in FUSABLE_KERNELS and source_fv.ndim == 3
                    else "scan")
+        if backend == "fused":
+            # VMEM feasibility: the fused kernel's double-buffered
+            # (rc, Dp, Wp) blocks must fit the ~16 MB scoped budget —
+            # wide images / large D fall back to the scan path instead
+            # of failing at Mosaic compile time
+            Wp = -(-source_fv.shape[1] // 128) * 128
+            n_d = (search.count if isinstance(search, SearchOffset1)
+                   else int(search))
+            Dp = -(-n_d // 8) * 8
+            if 4 * 4 * Dp * Wp * 4 > 14 * 2 ** 20:
+                backend = "scan" 
     if backend == "fused":
         from ..core.types import MATCH_TRAITS
         from .fv_backend import fused_fv_cost_volume
@@ -200,13 +210,14 @@ def aggregate_cost(func: MatchingFunction, fv_l: jnp.ndarray, fv_r: jnp.ndarray,
 def feature_volume_to_cost_volume(func: MatchingFunction, fv_l: jnp.ndarray,
                                   fv_r: jnp.ndarray, search: SearchRange,
                                   direction: DispDirection = DispDirection.RIGHT_TO_LEFT,
-                                  cv_dtype=jnp.float32) -> jnp.ndarray:
+                                  cv_dtype=jnp.float32,
+                                  backend: str = "auto") -> jnp.ndarray:
     """Normalize per the matching function's traits, then aggregate
     (`featureVolume2CostVolume`, `cross_correlations.h:724-738`)."""
     return aggregate_cost(func,
                           normalize_feature_volume(func, fv_l),
                           normalize_feature_volume(func, fv_r),
-                          search, direction, cv_dtype)
+                          search, direction, cv_dtype, backend=backend)
 
 
 def unfold_based_cost_volume(func: MatchingFunction, img_l: jnp.ndarray,
@@ -238,8 +249,9 @@ def unfold_based_cost_volume(func: MatchingFunction, img_l: jnp.ndarray,
         # (non-dot family, offset searches, L2R, too-tall images).
         from .box_pallas import box_cost_volume_fused
         dw = None
-        if isinstance(search, int):
-            dw = search
+        if isinstance(search, (int, np.integer)) and not isinstance(search,
+                                                                    bool):
+            dw = int(search)
         elif isinstance(search, SearchOffset1) and search.lower == 0:
             dw = search.upper + 1
         cvf = None
@@ -255,8 +267,11 @@ def unfold_based_cost_volume(func: MatchingFunction, img_l: jnp.ndarray,
                                search, direction, cv_dtype, layout)
     fv_l = unfold(h_radius, v_radius, img_l)
     fv_r = unfold(h_radius, v_radius, img_r)
-    cv = feature_volume_to_cost_volume(func, fv_l, fv_r, search,
-                                       direction, cv_dtype)
+    # 'unfold' genuinely forces the XLA scan path (otherwise the inner
+    # auto dispatch would re-route to the fused Pallas kernel on TPU)
+    cv = feature_volume_to_cost_volume(
+        func, fv_l, fv_r, search, direction, cv_dtype,
+        backend="scan" if backend == "unfold" else "auto")
     if layout == "dhw":
         return jnp.moveaxis(cv, -1, 1)
     return cv
@@ -358,6 +373,13 @@ def truncated_cost_volume(cv: jnp.ndarray, selected_index: jnp.ndarray,
     SAME samples cv[i, j, sel+k]; REVERSED samples cv[i, j+sgn*k, sel+k]
     (sgn = -1 for RIGHT_TO_LEFT); BOTH interleaves the two (2*(2r+1)-1 slots,
     direct/reversed pairs sharing the center slot).
+
+    Validity replicates the reference's conditions VERBATIM
+    (`correlation_base.h:602-670`), including two quirks: the SAME bound
+    `j + p + h_radius < W` is direction-independent (for LEFT_TO_RIGHT
+    the sampled target actually sits at j - p), and REVERSED slots check
+    only the source-window bounds of the shifted pixel, not the sampled
+    entry's own target window.  Both are pinned by tests.
     """
     H, W, D = cv.shape
     r = cost_vol_radius
@@ -428,8 +450,9 @@ def truncated_bidirectional_cost_volume(cv: jnp.ndarray,
             p1 = sel1 + (k1 - r1)
             valid = (p0 >= 0) & (p0 < D0) & (p1 >= 0) & (p1 < D1)
             lin = jnp.clip(p0, 0, D0 - 1) * D1 + jnp.clip(p1, 0, D1 - 1)
-            val = jnp.take_along_axis(flat, lin[..., None].astype(jnp.int32),
-                                      axis=-1)[..., 0]
+            # masked-sum lookup (_gather_disp): TPU gathers along the
+            # disparity axis are ~20x slower (see selected_cost note)
+            val = _gather_disp(flat, lin.astype(jnp.int32))
             row.append(jnp.where(valid, val, nan))
         out.append(jnp.stack(row, axis=-1))
     return jnp.stack(out, axis=-2)

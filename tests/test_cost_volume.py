@@ -313,3 +313,81 @@ def test_box_pallas_backend_dispatch(rng):
     got = unfold_based_cost_volume(MatchingFunction.ZNCC, l, r, 2, 2, so,
                                    backend="box_pallas")
     np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+def test_truncated_cv_reversed_and_both_reference_semantics(rng):
+    """REVERSED / BOTH / LEFT_TO_RIGHT truncation validity replicates the
+    reference's conditions verbatim (`correlation_base.h:602-670`) —
+    including its direction-independent `j + p + h_radius < W` bound for
+    SAME slots.  Pins the replicated behavior against a direct loop."""
+    from libstevi_tpu.core.types import TruncatedCvDirection, DispDirection
+    from libstevi_tpu.ops.cost_volume import truncated_cost_volume
+    H2, W2, D2, hr, vr, r = 10, 20, 6, 2, 1, 1
+    cv = rng.uniform(0, 5, (H2, W2, D2)).astype(np.float32)
+    sel = rng.integers(0, D2, (H2, W2)).astype(np.int32)
+
+    def oracle(sdir, direction):
+        sgn = -1 if direction is DispDirection.RIGHT_TO_LEFT else 1
+        n_slots = 4 * r + 1 if sdir == "both" else 2 * r + 1
+        out = np.full((H2, W2, n_slots), np.nan, np.float32)
+        for i in range(H2):
+            for j in range(W2):
+                for d in range(2 * r + 1):
+                    p = sel[i, j] + d - r
+                    jp = j + sgn * (d - r)
+                    same_ok = (0 <= p < D2 and j >= hr
+                               and j + p + hr < W2 and i >= vr
+                               and i + vr < H2)
+                    jp_c = -1 if (sdir == "both" and d == r) else jp
+                    rev_ok = (0 <= p < D2
+                              and min(jp_c, j) >= hr
+                              and max(jp_c, j) + hr < W2
+                              and i >= vr and i + vr < H2)
+                    if sdir == "same":
+                        if same_ok:
+                            out[i, j, d] = cv[i, j, p]
+                    elif sdir == "reversed":
+                        if rev_ok:
+                            out[i, j, d] = cv[i, jp, p]
+                    else:
+                        dd_ = 2 * d - (1 if d > r else 0)
+                        dr_ = 2 * d + 1 - (1 if d > r else 0)
+                        if same_ok:
+                            out[i, j, dd_] = cv[i, j, p]
+                        if d != r and rev_ok:
+                            out[i, j, dr_] = cv[i, jp, p]
+        return out
+
+    cases = [(TruncatedCvDirection.SAME, "same",
+              DispDirection.LEFT_TO_RIGHT),
+             (TruncatedCvDirection.REVERSED, "reversed",
+              DispDirection.RIGHT_TO_LEFT),
+             (TruncatedCvDirection.REVERSED, "reversed",
+              DispDirection.LEFT_TO_RIGHT),
+             (TruncatedCvDirection.BOTH, "both",
+              DispDirection.RIGHT_TO_LEFT)]
+    for sdir_enum, sdir_name, direction in cases:
+        got = np.asarray(truncated_cost_volume(
+            jnp.asarray(cv), jnp.asarray(sel), hr, vr, r,
+            direction=direction, sdir=sdir_enum))
+        want = oracle(sdir_name, direction)
+        np.testing.assert_array_equal(np.isnan(got), np.isnan(want),
+                                      err_msg=f"{sdir_name}/{direction}")
+        m = ~np.isnan(want)
+        np.testing.assert_allclose(got[m], want[m],
+                                   err_msg=f"{sdir_name}/{direction}")
+
+
+def test_box_zncc_flat_patch_no_nan(rng):
+    """Flat (zero-variance) patches must yield finite ZNCC costs: the
+    box decomposition's variance term cancels to a tiny negative in f32
+    and an unclamped sqrt poisons the WTA argmin with NaN."""
+    # NEAR-flat: true variance is tiny but positive; the unclamped
+    # box(x^2)-box(x)^2/n rounds negative about half the time in f32.
+    # (Exactly-flat patches are 0/0 = NaN in the reference too.)
+    img = (0.5 + 1e-4 * rng.standard_normal((24, 32))).astype(np.float32)
+    cv = unfold_based_cost_volume(MatchingFunction.ZNCC,
+                                  jnp.asarray(img), jnp.asarray(img),
+                                  2, 2, 8, backend="box")
+    inner = np.asarray(cv)[:, :-8]             # in-range disparities
+    assert np.isfinite(inner).all()
