@@ -51,7 +51,8 @@ def connected_components(mask: jnp.ndarray, contiguity: str = "queen",
 
     def cond(state):
         labels, changed, it = state
-        return changed & (it < (max_iters or H * W))
+        cap = H * W if max_iters is None else max_iters
+        return changed & (it < cap)
 
     def body(state):
         labels, _, it = state
@@ -64,34 +65,42 @@ def connected_components(mask: jnp.ndarray, contiguity: str = "queen",
 
 
 def relabel_consecutive(labels: jnp.ndarray):
-    """Host-side relabeling to consecutive component ids (0..k-1)."""
+    """Host-side relabeling to consecutive component ids (0..k-1) — one
+    vectorized searchsorted pass (a per-component full-image scan is
+    O(k*H*W) with thousands of components)."""
     import numpy as np
     lab = np.asarray(labels)
     uniq = np.unique(lab[lab >= 0])
-    remap = {int(u): i for i, u in enumerate(uniq)}
     out = np.full(lab.shape, -1, np.int32)
-    for u, i in remap.items():
-        out[lab == u] = i
+    fg = lab >= 0
+    out[fg] = np.searchsorted(uniq, lab[fg]).astype(np.int32)
     return out, len(uniq)
 
 
-def cluster_stats(labels: jnp.ndarray, values: jnp.ndarray | None = None,
-                  n_clusters: int | None = None):
-    """Per-cluster size, centroid and mean value
-    (`connectedComponents.h` cluster statistics)."""
+def cluster_stats(labels: jnp.ndarray, values: jnp.ndarray | None = None):
+    """Per-cluster size, centroid, mean value and bbox
+    (`connectedComponents.h` cluster statistics) — one vectorized
+    bincount pass over the label map instead of a per-cluster
+    full-image rescan."""
     import numpy as np
     lab, k = relabel_consecutive(labels)
     H, W = lab.shape
-    ii, jj = np.meshgrid(np.arange(H), np.arange(W), indexing="ij")
-    stats = []
-    for c in range(k):
-        sel = lab == c
-        size = int(sel.sum())
-        centroid = (float(ii[sel].mean()), float(jj[sel].mean()))
-        mean_val = float(np.asarray(values)[sel].mean()) \
-            if values is not None else None
-        bbox = (int(ii[sel].min()), int(jj[sel].min()),
-                int(ii[sel].max()), int(jj[sel].max()))
-        stats.append({"size": size, "centroid": centroid,
-                      "mean": mean_val, "bbox": bbox})
-    return stats
+    fg = lab >= 0
+    ids = lab[fg]
+    iy, ix = np.nonzero(fg)
+    sizes = np.bincount(ids, minlength=k)
+    cy = np.bincount(ids, weights=iy, minlength=k) / sizes
+    cx = np.bincount(ids, weights=ix, minlength=k) / sizes
+    if values is not None:
+        mv = np.bincount(ids, weights=np.asarray(values)[fg],
+                         minlength=k) / sizes
+    big = np.iinfo(np.int64).max
+    y0 = np.full(k, big); x0 = np.full(k, big)
+    y1 = np.full(k, -1); x1 = np.full(k, -1)
+    np.minimum.at(y0, ids, iy); np.minimum.at(x0, ids, ix)
+    np.maximum.at(y1, ids, iy); np.maximum.at(x1, ids, ix)
+    return [{"size": int(sizes[c]),
+             "centroid": (float(cy[c]), float(cx[c])),
+             "mean": float(mv[c]) if values is not None else None,
+             "bbox": (int(y0[c]), int(x0[c]), int(y1[c]), int(x1[c]))}
+            for c in range(k)]

@@ -257,7 +257,7 @@ def convolve_2d(img: jnp.ndarray, kernel: jnp.ndarray,
         return out
     # depthwise
     out = jax.lax.conv_general_dilated(
-        x[None], jnp.broadcast_to(k[:, :, None, None], k.shape + (1, 1)),
+        x[None], jnp.broadcast_to(k[:, :, None, None], k.shape + (1, C)),
         strides, "VALID", feature_group_count=C,
         dimension_numbers=("NHWC", "HWIO", "NHWC"))[0]
     return out if chan else out[..., 0]

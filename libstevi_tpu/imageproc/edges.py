@@ -9,6 +9,7 @@ barycentric weights).
 from __future__ import annotations
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 
@@ -23,25 +24,45 @@ def detect_edges(image: jnp.ndarray, low: float = 0.1, high: float = 0.3
     mag = jnp.sqrt(gx * gx + gy * gy)
     ang = jnp.arctan2(gy, gx)
 
-    # quantize direction to 4 bins and compare against the two neighbors
+    # quantize direction to 4 bins and compare against the two neighbors;
+    # shifts pad with -inf (a jnp.roll would wrap the OPPOSITE border's
+    # magnitudes into the comparison and suppress genuine border edges)
     a = (jnp.round(ang / (jnp.pi / 4)).astype(jnp.int32)) % 4
     shifts = [(0, 1), (1, 1), (1, 0), (1, -1)]
+
+    def shifted(m, di, dj):
+        pads = ((max(0, -di), max(0, di)), (max(0, -dj), max(0, dj)))
+        pm = jnp.pad(m, pads, constant_values=-jnp.inf)
+        H2, W2 = m.shape
+        return pm[max(0, di):max(0, di) + H2, max(0, dj):max(0, dj) + W2]
+
     nmax = jnp.zeros_like(mag, dtype=bool)
     for k, (di, dj) in enumerate(shifts):
-        fwd = jnp.roll(jnp.roll(mag, -di, 0), -dj, 1)
-        bwd = jnp.roll(jnp.roll(mag, di, 0), dj, 1)
+        fwd = shifted(mag, -di, -dj)
+        bwd = shifted(mag, di, dj)
         keep = (mag >= fwd) & (mag >= bwd)
         nmax = jnp.where(a == k, keep, nmax)
 
     mx = jnp.max(mag)
-    strong = nmax & (mag >= high * mx)
-    weak = nmax & (mag >= low * mx)
-    # hysteresis: weak pixels adjacent to strong survive (one dilation pass
-    # iterated a few times)
+    # a flat image (mx == 0) has NO edges — the relative thresholds with
+    # >= would otherwise classify every pixel as strong
+    strong = nmax & (mag >= high * mx) & (mx > 0)
+    weak = nmax & (mag >= low * mx) & (mx > 0)
+    # hysteresis to FIXED POINT: the whole connected weak chain survives
+    # (a fixed number of dilation passes dropped weak pixels more than
+    # that many steps from a strong seed; `edgesDetection.h:39`)
     from .morphology import dilation
-    s = strong.astype(jnp.float32)
-    for _ in range(8):
-        s = jnp.where(weak, jnp.maximum(s, dilation(s, radius=1)), s)
+
+    def body(state):
+        s, _ = state
+        grown = jnp.where(weak, jnp.maximum(s, dilation(s, radius=1)), s)
+        return grown, jnp.any(grown != s)
+
+    def cond(state):
+        return state[1]
+
+    s, _ = jax.lax.while_loop(cond, body,
+                              (strong.astype(jnp.float32), jnp.bool_(True)))
     return s > 0.5
 
 

@@ -37,10 +37,11 @@ def _conv1d(x: jnp.ndarray, taps, axis: int) -> jnp.ndarray:
 
 def _gaussian_taps(radius: int) -> np.ndarray:
     """Unnormalized Gaussian taps, sigma = (radius+1)/2
-    (`cornerDetectors.h:29,46-48`; normalize=false)."""
-    sigma = (radius + 1) / 2.0
-    d = np.arange(-radius, radius + 1, dtype=np.float64)
-    return np.exp(-(d * d) / (2.0 * sigma * sigma))
+    (`cornerDetectors.h:29,46-48`; normalize=false) — delegates to the
+    shared `imageproc.filters.gaussian_filter_taps`."""
+    from ..imageproc.filters import gaussian_filter_taps
+    return np.asarray(gaussian_filter_taps((radius + 1) / 2.0, radius,
+                                           normalize=False))
 
 
 def harris_m_mat(img: jnp.ndarray, low_pass_radius: int = 3):
@@ -52,9 +53,10 @@ def harris_m_mat(img: jnp.ndarray, low_pass_radius: int = 3):
         x = _conv1d(x, taps, 0)
         x = _conv1d(x, taps, 1)
     # Sobel-style separable gradients: derivative [-1,0,1] on one axis,
-    # extension [1,2,1] on the other
-    dx = _conv1d(_conv1d(x, [-1.0, 0.0, 1.0], 0), [1.0, 2.0, 1.0], 1)
-    dy = _conv1d(_conv1d(x, [1.0, 2.0, 1.0], 0), [-1.0, 0.0, 1.0], 1)
+    # extension [1,2,1] on the other.  x = COLUMNS (the repo-wide image
+    # convention, see edges.py): dx differentiates along axis 1.
+    dx = _conv1d(_conv1d(x, [-1.0, 0.0, 1.0], 1), [1.0, 2.0, 1.0], 0)
+    dy = _conv1d(_conv1d(x, [1.0, 2.0, 1.0], 1), [-1.0, 0.0, 1.0], 0)
     return dx * dx, dx * dy, dy * dy
 
 

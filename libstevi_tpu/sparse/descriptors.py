@@ -53,7 +53,11 @@ def _rot(dirs: jnp.ndarray) -> jnp.ndarray:
     theta = jnp.arctan2(dirs[:, 0], dirs[:, 1])
     c = jnp.cos(theta)
     s = jnp.sin(theta)
-    return jnp.stack([jnp.stack([c, -s], -1), jnp.stack([s, c], -1)], -2)
+    # [[c, s], [-s, c]] rotates offsets INTO the keypoint frame: for
+    # direction (1, 0) (theta=90deg) the (0, 1) tap maps to (1, 0).
+    # The transpose rotated by -theta, breaking rotation invariance
+    # (oriented descriptors of a 90deg-rotated patch anti-correlated).
+    return jnp.stack([jnp.stack([c, s], -1), jnp.stack([-s, c], -1)], -2)
 
 
 def _sample(img: jnp.ndarray, coords: jnp.ndarray, offsets: jnp.ndarray,
