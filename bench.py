@@ -77,14 +77,15 @@ def main():
 
     # Roofline: fraction of XLA's own cost-analysis bound achieved —
     # max(bytes accessed / HBM BW, flops / peak) for the compiled frame
-    # (v5e: 819 GB/s, ~197 TFLOP/s f32).  The fused pipeline is
+    # (v5e: 819 GB/s HBM, 197 TFLOP/s bf16 MXU peak).  The pipeline is
     # VPU-compute bound, so the compute term is the binding one.
     from libstevi_tpu.utils.profiling import (cost_analysis,
                                               V5E_HBM_BYTES_PER_S,
-                                              V5E_PEAK_FLOPS_F32)
+                                              V5E_PEAK_FLOPS_BF16)
     ca = cost_analysis(fn, *args)
+    # the flagship pipeline computes in bf16 (197 TFLOP/s peak on v5e)
     t_roofline = max(float(ca.get("bytes accessed", 0)) / V5E_HBM_BYTES_PER_S,
-                     float(ca.get("flops", 0)) / V5E_PEAK_FLOPS_F32)
+                     float(ca.get("flops", 0)) / V5E_PEAK_FLOPS_BF16)
     vs = t_roofline / dt if t_roofline > 0 else 0.0
 
     print(json.dumps({

@@ -150,6 +150,9 @@ def probe(cv_p: jnp.ndarray, cand: jnp.ndarray, disp: jnp.ndarray,
     volume.  (No input_output_aliases: aliasing state in/out measures 2x
     slower by serializing Mosaic block prefetch, see sgm_pallas_dhw.)"""
     Lp, Dp, Sp = cv_p.shape
+    if Lp % rc:
+        raise ValueError(f"the row chunk rc ({rc}) must divide Lp ({Lp}) "
+                         "— trailing lines would be silently dropped")
     if cand.ndim == 2:
         cand = cand[:, None, :]
     K = cand.shape[1]
@@ -176,6 +179,10 @@ def sweep(cv_p: jnp.ndarray, disp: jnp.ndarray, cost: jnp.ndarray,
     """One full sweep over a (Lp, Dp, Sp) padded cost-oriented volume with
     (Lp, Sp) disparity/cost state; returns updated (disp, cost)."""
     Lp, Dp, Sp = cv_p.shape
+    if Lp % cc or cc % vc:
+        raise ValueError(f"cc ({cc}) must divide Lp ({Lp}) and vc ({vc}) "
+                         "must divide cc — uncovered lines would keep "
+                         "uninitialized output rows")
     n = Lp // cc
     if reverse:
         vol_map = lambda h: (n - 1 - h, 0, 0)

@@ -268,7 +268,7 @@ def _diagonal_group(cv, ml, P1, P2, Pout, W):
 # Generic gather path (knight-move directions of the 16-set)
 # ---------------------------------------------------------------------------
 
-@lru_cache(maxsize=None)
+@lru_cache(maxsize=32)  # bounded: maps are O((H+W)*line_len) per key
 def _build_lines(H: int, W: int, margins: tuple, direction: SgmDirection):
     """Static (lines, steps) index maps for one direction, following
     `addDirectionalCost`'s start enumeration (`sgm.h:329-355`)."""

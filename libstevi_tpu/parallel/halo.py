@@ -21,8 +21,17 @@ def halo_exchange_rows(x: jnp.ndarray, halo_up: int, halo_down: int,
     `halo_down` rows from the next shard (zeros at the global boundary,
     matching the engine's zero-padding convention).
 
-    x: (H_loc, ...) local block, sharded along axis 0.
+    x: (H_loc, ...) local block, sharded along axis 0.  The halo must
+    not exceed the local shard height: the exchange only reaches the
+    IMMEDIATE neighbors, so a larger request would silently splice the
+    wrong rows into the extended block.
     """
+    H_loc = x.shape[0]
+    if max(halo_up, halo_down) > H_loc:
+        raise ValueError(
+            f"halo ({max(halo_up, halo_down)}) exceeds the local shard "
+            f"height ({H_loc}); use more rows per shard or a smaller "
+            f"window radius")
     n = jax.lax.axis_size(axis_name)
     parts = []
     if halo_up > 0:

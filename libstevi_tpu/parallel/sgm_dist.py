@@ -71,34 +71,19 @@ def _vertical_scan(cv: jnp.ndarray, carry_in: jnp.ndarray, reverse: bool,
 
 def _vertical_relay(cv: jnp.ndarray, reverse: bool, P1, P2, Pout,
                     axis_name: str) -> jnp.ndarray:
-    """Relay the vertical DP across shards: shard k runs its scan at relay
-    step k (or n-1-k for the reverse direction), then ppermutes its outgoing
-    carry to the next shard."""
-    H, W, D = cv.shape
-    n = jax.lax.axis_size(axis_name)
-    me = jax.lax.axis_index(axis_name)
-    my_turn_at = (n - 1 - me) if reverse else me
-    perm = ([(i, i - 1) for i in range(1, n)] if reverse
-            else [(i, i + 1) for i in range(n - 1)])
+    """Relay the vertical DP across shards via the shared `_carry_relay`
+    protocol: shard k runs its scan at relay step k (n-1-k reversed) and
+    accumulates its adjustments only on its own turn (idle shards just
+    forward carries — no full-volume zero adds)."""
+    def pass_fn(acc, carries, rev):
+        adj, carry_out = _vertical_scan(cv, carries[0], rev, P1, P2, Pout)
+        return acc + adj, (carry_out,)
 
-    def relay_step(state, step):
-        carry, adj = state
-
-        def run(c):
-            return _vertical_scan(cv, c, reverse, P1, P2, Pout)
-
-        def idle(c):
-            return jnp.zeros_like(cv), c
-
-        new_adj, carry_out = jax.lax.cond(step == my_turn_at, run, idle, carry)
-        adj = adj + new_adj
-        carry_next = jax.lax.ppermute(carry_out, axis_name, perm)
-        return (carry_next, adj), None
-
-    init = (jnp.zeros_like(cv[0]), jnp.zeros_like(cv))
-    (_, adj), _ = jax.lax.scan(relay_step, init,
-                               jnp.arange(n, dtype=jnp.int32))
-    return adj
+    return _carry_relay(jnp.zeros_like(cv), reverse=reverse,
+                        axis_name=axis_name, n_car=1,
+                        carry_shape=cv.shape[1:], dtype=cv.dtype,
+                        run_pass=pass_fn,
+                        init_carries=(jnp.zeros_like(cv[0]),))
 
 
 def distributed_sgm(cv_local: jnp.ndarray, P1: float, P2: float,
@@ -116,7 +101,7 @@ def distributed_sgm(cv_local: jnp.ndarray, P1: float, P2: float,
 
 
 def _carry_relay(acc, *, reverse, axis_name, n_car, carry_shape, dtype,
-                 run_pass):
+                 run_pass, init_carries=None):
     """The shared shard-to-shard DP carry relay: shard k runs its pass at
     relay step k (n-1-k for reverse), then ppermutes its outgoing carries
     one shard along; inactive shards forward carries untouched.  One
@@ -141,7 +126,11 @@ def _carry_relay(acc, *, reverse, axis_name, n_car, carry_shape, dtype,
                         for c in carries)
         return (carries, acc), None
 
-    zc = tuple(jnp.zeros(carry_shape, dtype) for _ in range(n_car))
+    # init_carries lets callers tie the zeros to a sharded operand
+    # (zeros_like keeps shard_map's varying-manual-axes type; a plain
+    # jnp.zeros is replicated and breaks lax.scan carry typing)
+    zc = (tuple(init_carries) if init_carries is not None
+          else tuple(jnp.zeros(carry_shape, dtype) for _ in range(n_car)))
     (_, acc), _ = jax.lax.scan(step, (zc, acc),
                                jnp.arange(n, dtype=jnp.int32))
     return acc

@@ -35,7 +35,7 @@ def _local_cv_with_halo(func, img_l, img_r, h_radius, v_radius, disp_width,
 
     The box/unfold backends only need v_radius rows of context; at global
     image borders the zero halo reproduces the unfold zero-fill."""
-    halo = 2 * v_radius  # margin so cropped rows see no edge effects
+    halo = v_radius   # the CV window needs exactly v_radius rows of context
     l_ext = halo_exchange_rows(img_l, halo, halo, axis_name)
     r_ext = halo_exchange_rows(img_r, halo, halo, axis_name)
     cv_ext = unfold_based_cost_volume(func, l_ext, r_ext, h_radius, v_radius,
@@ -45,13 +45,10 @@ def _local_cv_with_halo(func, img_l, img_r, h_radius, v_radius, disp_width,
 
 
 def _wta_last_tie(cv, strategy):
-    D = cv.shape[-1]
-    flipped = jnp.flip(cv, -1)
-    if strategy is ExtractionStrategy.COST:
-        idx = jnp.argmin(flipped, -1)
-    else:
-        idx = jnp.argmax(flipped, -1)
-    return (D - 1 - idx).astype(disp_dtype)
+    """Ties-toward-last WTA — one definition for single-chip and
+    distributed paths (ops.cost_volume.extract_selected_index)."""
+    from ..ops.cost_volume import extract_selected_index
+    return extract_selected_index(cv, strategy).astype(disp_dtype)
 
 
 def dshard_wta(cv_local: jnp.ndarray, strategy: ExtractionStrategy,
@@ -169,7 +166,7 @@ def distributed_full_step(mesh: Mesh, func: MatchingFunction, h_radius: int,
     d_total = d_loc * n_dsh
 
     def pair_fn(img_l, img_r):   # (H_loc, W) shards
-        halo = 2 * v_radius
+        halo = v_radius   # the CV window needs v_radius rows of context
         l_ext = halo_exchange_rows(img_l, halo, halo, "tile")
         r_ext = halo_exchange_rows(img_r, halo, halo, "tile")
         W = img_l.shape[1]

@@ -16,10 +16,15 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-# TPU v5e single-chip peaks (defaults; override per target chip)
+# TPU v5e single-chip peaks (defaults; override per target chip).
+# 394 TOPS is the INT8 figure; BF16 matmul peak is 197 TFLOP/s and f32
+# runs at roughly half of that on the bf16-native MXU — mislabeling
+# these a precision level high understates compute-bound roofline times
+# ~2x and flips bound_by to "memory" for genuinely compute-bound ops.
 V5E_HBM_BYTES_PER_S = 819e9
-V5E_PEAK_FLOPS_BF16 = 394e12
-V5E_PEAK_FLOPS_F32 = 197e12
+V5E_PEAK_OPS_INT8 = 394e12
+V5E_PEAK_FLOPS_BF16 = 197e12
+V5E_PEAK_FLOPS_F32 = 98.5e12
 
 
 @contextlib.contextmanager
