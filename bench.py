@@ -16,20 +16,22 @@ import numpy as np
 
 def _device_healthy(timeout_s: float = 180.0) -> bool:
     """The axon tunnel can go fully down (even a 128x128 matmul hangs
-    forever); probe it in a daemon thread so a dead device yields an
-    honest error record instead of a silent hang."""
-    import threading
-    ok = []
-
-    def probe():
-        import jax.numpy as jnp
-        x = jnp.ones((128, 128), jnp.bfloat16)
-        ok.append(float((x @ x).sum()))
-
-    t = threading.Thread(target=probe, daemon=True)
-    t.start()
-    t.join(timeout_s)
-    return bool(ok)
+    forever); probe it in a SUBPROCESS so a dead device yields an honest
+    error record instead of a silent hang.  (A daemon-thread probe does
+    not work: axon backend init from a non-main thread itself hangs,
+    reporting a false outage.)"""
+    import subprocess
+    import sys
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c",
+             "import jax.numpy as jnp;"
+             "x = jnp.ones((128, 128), jnp.bfloat16);"
+             "print(float((x @ x).sum()))"],
+            timeout=timeout_s, capture_output=True)
+        return r.returncode == 0
+    except subprocess.TimeoutExpired:
+        return False
 
 
 def main():
