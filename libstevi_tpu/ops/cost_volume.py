@@ -240,8 +240,16 @@ def unfold_based_cost_volume(func: MatchingFunction, img_l: jnp.ndarray,
     """
     if backend == "auto":
         from .box_backend import supports_box
-        backend = "box" if (supports_box(func)
-                            and not isinstance(search, SearchOffset2)) else "unfold"
+        if supports_box(func) and not isinstance(search, SearchOffset2):
+            # On TPU prefer the fused single-kernel box CV (inputs +
+            # window statistics stay VMEM-resident, only the volume is
+            # written): 0.44/0.61 ms f32/bf16 vs 1.16 ms for the scan
+            # box path at 480x640 D=120 (device-chained, v5e).  The
+            # branch below falls back to 'box' when out of scope.
+            backend = ("box_pallas" if jax.default_backend() == "tpu"
+                       else "box")
+        else:
+            backend = "unfold"
     if backend == "box_pallas":
         # single fused kernel (box_pallas.box_cost_volume_fused): inputs
         # + window statistics stay VMEM-resident and only the volume is

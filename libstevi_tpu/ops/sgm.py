@@ -446,8 +446,10 @@ def sgm_wta_truncated(cv: jnp.ndarray, P1: float, P2: float,
         if cv_dhw.dtype != jnp.bfloat16:   # bf16 volumes stay bf16 (packed
             cv_dhw = cv_dhw.astype(jnp.float32)   # VPU fast path)
         elif n_directions >= 16:
-            # measured: the knight masks break packed-pair bf16 operation
-            # (7.0 ms vs 5.7 ms f32 at 480x640 D=120) — prefer f32
+            # measured (device-chained, v5e, incl. streamed knight weight
+            # planes): bf16 16-dir 7.56 ms vs f32 6.06 ms at 480x640
+            # D=120 — the extra knight streams still break packed-pair
+            # bf16 operation, so 16-dir prefers f32
             cv_dhw = cv_dhw.astype(jnp.float32)
         res = sgm_fused_wta_dhw(sign * cv_dhw, 0, W,
                                 float(P1), float(P2), float(Pout),
