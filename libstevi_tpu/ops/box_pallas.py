@@ -134,6 +134,42 @@ def _kernel(src_ref, tgtp_ref, stats_ref, out_ref, scr_ref, *, DC, Hb,
     scr_ref[...] = jnp.concatenate([tgt_b[:, :, DC:], zfill], axis=2)
 
 
+def box_fused_in_scope(func: MatchingFunction, shape, h_radius: int,
+                       v_radius: int, disp_width: int,
+                       cv_dtype=jnp.float32):
+    """Static (shape-only) scope check for `box_cost_volume_fused`:
+    returns the row-band height Hb when the configuration is supported
+    and fits the 16 MB scoped VMEM, else None.  Lets dispatch decide
+    without tracing the kernel."""
+    kind = {MatchingFunction.CC: "cc", MatchingFunction.NCC: "ncc",
+            MatchingFunction.ZCC: "zcc",
+            MatchingFunction.ZNCC: "zncc"}.get(func)
+    if kind is None or len(shape) != 2 or v_radius > _PADROWS:
+        return None
+    H, W = shape
+    DC = 8
+    Dp = -(-disp_width // DC) * DC
+    Hp = -(-H // 8) * 8
+    Wp = -(-W // 128) * 128
+    Wpp = Wp + Dp + DC
+
+    # pick the largest row band whose residents + out blocks + live band
+    # temporaries fit the 16 MB scoped VMEM
+    isz = 4
+    osz = jnp.dtype(cv_dtype).itemsize
+    for cand in (Hp, 240, 120, 96, 48, 24):
+        if cand > Hp or cand % 8 or Hp % cand:
+            continue
+        hx = cand + 2 * _PADROWS
+        resident = ((Hp + 2 * _PADROWS) * (4 * Wp + 3 * Wpp)) * isz
+        scratch = 3 * hx * Wpp * isz
+        temps = 8 * hx * Wp * isz
+        out_c = 2 * DC * cand * Wp * osz
+        if resident + scratch + temps + out_c <= 15_000_000:
+            return cand
+    return None
+
+
 def box_cost_volume_fused(func: MatchingFunction, img_l, img_r,
                           h_radius: int, v_radius: int, disp_width: int,
                           cv_dtype=jnp.float32,
@@ -145,7 +181,9 @@ def box_cost_volume_fused(func: MatchingFunction, img_l, img_r,
     kind = {MatchingFunction.CC: "cc", MatchingFunction.NCC: "ncc",
             MatchingFunction.ZCC: "zcc",
             MatchingFunction.ZNCC: "zncc"}.get(func)
-    if kind is None or img_l.ndim != 2 or v_radius > _PADROWS:
+    Hb = box_fused_in_scope(func, img_l.shape, h_radius, v_radius,
+                            disp_width, cv_dtype)
+    if Hb is None:
         return None
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
@@ -160,25 +198,6 @@ def box_cost_volume_fused(func: MatchingFunction, img_l, img_r,
     Hp = -(-H // 8) * 8
     Wp = -(-W // 128) * 128
     Wpp = Wp + Dp + DC
-
-    # pick the largest row band whose residents + out blocks + live band
-    # temporaries fit the 16 MB scoped VMEM
-    isz = 4
-    osz = jnp.dtype(cv_dtype).itemsize
-    Hb = None
-    for cand in (Hp, 240, 120, 96, 48, 24):
-        if cand > Hp or cand % 8 or Hp % cand:
-            continue
-        hx = cand + 2 * _PADROWS
-        resident = ((Hp + 2 * _PADROWS) * (4 * Wp + 3 * Wpp)) * isz
-        scratch = 3 * hx * Wpp * isz
-        temps = 8 * hx * Wp * isz
-        out_c = 2 * DC * cand * Wp * osz
-        if resident + scratch + temps + out_c <= 15_000_000:
-            Hb = cand
-            break
-    if Hb is None:
-        return None
 
     from .filters import box_filter_2d
 

@@ -238,16 +238,19 @@ def unfold_based_cost_volume(func: MatchingFunction, img_l: jnp.ndarray,
     ``layout='dhw'`` returns the volume as (H, D, W) — disparity on VPU
     sublanes, the layout the SGM Pallas fast path consumes natively.
     """
-    if backend == "auto":
+    auto = backend == "auto"
+    if auto:
         from .box_backend import supports_box
         if supports_box(func) and not isinstance(search, SearchOffset2):
-            # On TPU prefer the fused single-kernel box CV (inputs +
+            # Prefer the fused single-kernel box CV on TPU (inputs +
             # window statistics stay VMEM-resident, only the volume is
             # written): 0.44/0.61 ms f32/bf16 vs 1.16 ms for the scan
             # box path at 480x640 D=120 (device-chained, v5e).  The
-            # branch below falls back to 'box' when out of scope.
-            backend = ("box_pallas" if jax.default_backend() == "tpu"
-                       else "box")
+            # branch below resolves the platform at LOWERING time
+            # (lax.platform_dependent), so tracing for a non-default
+            # device picks the right implementation; it falls back to
+            # 'box' when statically out of scope.
+            backend = "box_pallas"
         else:
             backend = "unfold"
     if backend == "box_pallas":
@@ -255,18 +258,35 @@ def unfold_based_cost_volume(func: MatchingFunction, img_l: jnp.ndarray,
         # + window statistics stay VMEM-resident and only the volume is
         # written.  Falls back to the scan box path out of scope
         # (non-dot family, offset searches, L2R, too-tall images).
-        from .box_pallas import box_cost_volume_fused
+        from .box_pallas import box_cost_volume_fused, box_fused_in_scope
         dw = None
         if isinstance(search, (int, np.integer)) and not isinstance(search,
                                                                     bool):
             dw = int(search)
         elif isinstance(search, SearchOffset1) and search.lower == 0:
             dw = search.upper + 1
-        cvf = None
-        if dw is not None and direction == DispDirection.RIGHT_TO_LEFT:
+        in_scope = (
+            dw is not None and direction == DispDirection.RIGHT_TO_LEFT
+            and box_fused_in_scope(func, img_l.shape, h_radius, v_radius,
+                                   dw, cv_dtype) is not None)
+        if in_scope and auto:
+            from .box_backend import box_cost_volume
+
+            def _fused(l, r):
+                return box_cost_volume_fused(func, l, r, h_radius,
+                                             v_radius, dw, cv_dtype,
+                                             interpret=False)
+
+            def _scan_box(l, r):
+                return box_cost_volume(func, l, r, h_radius, v_radius,
+                                       search, direction, cv_dtype, "dhw")
+
+            cvf = jax.lax.platform_dependent(img_l, img_r, tpu=_fused,
+                                             default=_scan_box)
+            return cvf if layout == "dhw" else jnp.moveaxis(cvf, 1, -1)
+        if in_scope:
             cvf = box_cost_volume_fused(func, img_l, img_r, h_radius,
                                         v_radius, dw, cv_dtype)
-        if cvf is not None:
             return cvf if layout == "dhw" else jnp.moveaxis(cvf, 1, -1)
         backend = "box"
     if backend == "box":

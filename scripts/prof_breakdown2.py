@@ -42,7 +42,6 @@ Hp = dhw._round_up(H1, 8)
 Hp_lanes = dhw._round_up(H1, 128)
 cv_p = jnp.pad(cv, ((0, 0), (0, Dp - D), (0, 0)), constant_values=jnp.inf)
 cv_p = jnp.pad(cv_p, ((0, Hp - H1), (0, 0), (0, Wp - W1)))
-cv_p = jax.block_until_ready(cv_p.astype(jnp.float32))  # device_time wants float-ish first arg; keep bf16 actually
 cv_p = jax.block_until_ready(cv_p.astype(dt))
 
 rc_down = dhw._pick_rc(Dp, Wp, 3, 12 * 2**20, n_streams=2, itemsize=isz)
@@ -99,13 +98,6 @@ def fwd(ct, at):
 
 print(f"fwd-T pass (1 carry): {device_time(fwd, cv_T, adj_T)*1e3:.3f} ms")
 adj_T2 = jax.block_until_ready(jax.jit(fwd)(cv_T, adj_T))
-
-
-def wta_stage(ct, at):
-    import jax.experimental.pallas as pl  # noqa
-    # replicate the tail of _run_dhw: backward horizontal + WTA + bands
-    res = dhw._run_dhw.__wrapped__ if hasattr(dhw._run_dhw, "__wrapped__") else None
-    raise SystemExit
 
 
 # time the full fused call for reference

@@ -271,8 +271,9 @@ def test_fused_fv_backend_matches_scan(rng, func, direction):
 
 class TestBoxPallasFused:
     """Fused single-kernel box CV (`ops/box_pallas.py`) == the scan-based
-    box backend for the dot family (interpret mode; the kernel is not yet
-    wired into dispatch pending on-chip validation)."""
+    box backend for the dot family (interpret mode).  On TPU the 'auto'
+    backend dispatches to this kernel for in-scope dot-family searches
+    (`ops/cost_volume.py` unfold_based_cost_volume)."""
 
     @pytest.mark.parametrize("func", [MatchingFunction.ZNCC,
                                       MatchingFunction.NCC,
@@ -313,6 +314,22 @@ def test_box_pallas_backend_dispatch(rng):
     got = unfold_based_cost_volume(MatchingFunction.ZNCC, l, r, 2, 2, so,
                                    backend="box_pallas")
     np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+def test_auto_backend_dispatch_parity(rng):
+    """'auto' (which on TPU selects the fused box Pallas kernel and on
+    CPU the scan box decomposition) matches the forced unfold/scan path
+    on whatever backend the test runs on."""
+    H2, W2, D2 = 24, 40, 10
+    l = jnp.asarray(rng.uniform(0.1, 1, (H2, W2)).astype(np.float32))
+    r = jnp.asarray(rng.uniform(0.1, 1, (H2, W2)).astype(np.float32))
+    for layout in ("hwd", "dhw"):
+        want = unfold_based_cost_volume(MatchingFunction.ZNCC, l, r, 2, 2,
+                                        D2, backend="unfold", layout=layout)
+        got = unfold_based_cost_volume(MatchingFunction.ZNCC, l, r, 2, 2,
+                                       D2, backend="auto", layout=layout)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=2e-5, atol=2e-5)
 
 
 def test_truncated_cv_reversed_and_both_reference_semantics(rng):
