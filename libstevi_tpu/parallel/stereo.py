@@ -90,8 +90,11 @@ def distributed_cost_volume_wta(mesh: Mesh, func: MatchingFunction,
         return _wta_last_tie(cv, strategy)
 
     spec = P("tile", None)
+    # check_vma=False: the lowering-time platform dispatch in the auto CV
+    # backend traces the Pallas branch on every platform, and pallas_call
+    # outputs defeat the varying-manual-axes inference (JAX >= 0.9)
     return jax.jit(shard_map(local_fn, mesh=mesh, in_specs=(spec, spec),
-                             out_specs=spec))
+                             out_specs=spec, check_vma=False))
 
 
 def distributed_dense_stereo_step(mesh: Mesh, func: MatchingFunction,
