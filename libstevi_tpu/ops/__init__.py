@@ -19,7 +19,7 @@ from .cost_volume import (
     truncated_bidirectional_cost_volume,
     extract_in_bound_domain,
 )
-from .sgm import sgm_cost_volume, sgm_wta_truncated
+from .sgm import sgm_cost_volume, sgm_wta_truncated, dense_sgm_stereo
 from .image_refinement import (
     refine_barycentric_disp, refine_barycentric_symmetric_disp,
     refine_barycentric_2d_disp, refine_barycentric_symmetric_2d_disp,
@@ -58,6 +58,7 @@ __all__ = [
     "extract_in_bound_domain",
     "sgm_cost_volume",
     "sgm_wta_truncated",
+    "dense_sgm_stereo",
     "InterpolationKernel", "refine_disp_cost_interpolation",
     "refine_disp_2d_cost_interpolation",
     "refine_disp_2d_cost_patch_interpolation",

@@ -83,7 +83,9 @@ def _window_sum_sublanes(x, radius):
 
 
 def _kernel(src_ref, tgtp_ref, stats_ref, out_ref, scr_ref, *, DC, Hb,
-            Wp, Wpp, h_radius, v_radius, n, kind, cv_dtype, W1):
+            Wp, Wpp, h_radius, v_radius, n, kind, cv_dtype, W1,
+            negate=False, pad_d_inf=False, D=None, H1=None,
+            pout_bake=None):
     hb = pl.program_id(0)
     d_idx = pl.program_id(1)           # innermost: d chunks in order
     d0 = d_idx * DC
@@ -127,8 +129,31 @@ def _kernel(src_ref, tgtp_ref, stats_ref, out_ref, scr_ref, *, DC, Hb,
                 den = den_s[c] * den_t
                 cost = jnp.where(den > 0,
                                  zcc / jnp.where(den > 0, den, 1.0), 0.0)
+        if negate:
+            cost = -cost
         in_range = jj + (d0 + k) < W1
-        out_ref[k] = jnp.where(in_range, cost, 0.0).astype(cv_dtype)
+        # ``pout_bake``: write Pout at out-of-range (j + d >= W) entries
+        # instead of 0 — the SGM out-of-image penalty rides the cost
+        # stream, so the DP kernels drop their per-carry +Pout adds (the
+        # in-range cost there is 0, so cv' is EITHER cost OR Pout and
+        # the DP carries stay bit-identical); the WTA pass restores the
+        # direction multiplicity once (see `_dhw_wta_kernel`)
+        oob = 0.0 if pout_bake is None else float(pout_bake)
+        val = jnp.where(in_range, cost, oob)
+        if pad_d_inf:
+            # d sublanes beyond the true disparity range carry +inf at
+            # real (i, j) positions and zero at padded ones — exactly
+            # the pad pattern `sgm_pallas_dhw._run_dhw` builds, so the
+            # volume feeds the SGM kernels with no relayout/pad op.
+            # Padded image rows must be EXACT zeros (the un-normalized
+            # cc/zcc kinds see real rows through the window there, and
+            # diagonal carries lane-shift pad values into real lanes).
+            ii = jax.lax.broadcasted_iota(jnp.int32, (Hb, Wp), 0) + r0
+            infpat = jnp.where((ii < H1) & (jj < W1), jnp.float32(jnp.inf),
+                               0.0)
+            val = jnp.where(d0 + k < D, jnp.where(ii < H1, val, 0.0),
+                            infpat)
+        out_ref[k] = val.astype(cv_dtype)
     # advance the scratch to the next chunk's base disparity
     zfill = jnp.zeros((3, Hx, DC), tgt_b.dtype)
     scr_ref[...] = jnp.concatenate([tgt_b[:, :, DC:], zfill], axis=2)
@@ -170,34 +195,15 @@ def box_fused_in_scope(func: MatchingFunction, shape, h_radius: int,
     return None
 
 
-def box_cost_volume_fused(func: MatchingFunction, img_l, img_r,
-                          h_radius: int, v_radius: int, disp_width: int,
-                          cv_dtype=jnp.float32,
-                          interpret: bool | None = None):
-    """Fused (H, D, W) cost volume for the dot family (CC/NCC/ZCC/ZNCC),
-    RIGHT_TO_LEFT, zero margins, gray images.  Returns None when the
-    configuration is out of scope or cannot fit VMEM (caller falls back
-    to the scan backend)."""
-    kind = {MatchingFunction.CC: "cc", MatchingFunction.NCC: "ncc",
-            MatchingFunction.ZCC: "zcc",
-            MatchingFunction.ZNCC: "zncc"}.get(func)
-    Hb = box_fused_in_scope(func, img_l.shape, h_radius, v_radius,
-                            disp_width, cv_dtype)
-    if Hb is None:
-        return None
-    if interpret is None:
-        interpret = jax.default_backend() != "tpu"
+def _prep_inputs(kind, img_l, img_r, h_radius, v_radius, Hp, Wp, Wpp):
+    """Window statistics in normal (H-major) orientation, pr-row-padded:
+    returns (srcp, tgt_stack, stats_s) with srcp (Hpp, Wp), stats_s
+    (2, Hpp, Wp) = [sum_s, den_s], tgt_stack (3, Hpp, Wpp) =
+    [tgt, sum_t, den_t]."""
     H, W = img_l.shape
     src = img_r.astype(jnp.float32)       # RIGHT_TO_LEFT: source = right
     tgt = img_l.astype(jnp.float32)
     n = float((2 * h_radius + 1) * (2 * v_radius + 1))
-
-    DC = 8
-    D = disp_width
-    Dp = -(-D // DC) * DC
-    Hp = -(-H // 8) * 8
-    Wp = -(-W // 128) * 128
-    Wpp = Wp + Dp + DC
 
     from .filters import box_filter_2d
 
@@ -224,13 +230,27 @@ def box_cost_volume_fused(func: MatchingFunction, img_l, img_r,
     stats_s = jnp.pad(jnp.stack([sum_s, den_s]), ((0, 0),) + rowpad)
     tgt_stack = jnp.pad(jnp.stack([tgtp, sum_t, den_t]),
                         ((0, 0),) + rowpad)
+    return srcp, tgt_stack, stats_s, n
+
+
+def _fused_call(kind, img_l, img_r, h_radius, v_radius, D, Dp, Hb,
+                cv_dtype, interpret, negate, pad_d_inf):
+    H, W = img_l.shape
+    DC = 8
+    Hp = -(-H // 8) * 8
+    Wp = -(-W // 128) * 128
+    Wpp = Wp + Dp + DC
+    pr = _PADROWS
+    srcp, tgt_stack, stats_s, n = _prep_inputs(
+        kind, img_l, img_r, h_radius, v_radius, Hp, Wp, Wpp)
 
     kern = functools.partial(
         _kernel, DC=DC, Hb=Hb, Wp=Wp, Wpp=Wpp, h_radius=h_radius,
-        v_radius=v_radius, n=n, kind=kind, cv_dtype=cv_dtype, W1=W)
+        v_radius=v_radius, n=n, kind=kind, cv_dtype=cv_dtype, W1=W,
+        negate=negate, pad_d_inf=pad_d_inf, D=D, H1=H)
     Hpp = Hp + 2 * pr
     Hx = Hb + 2 * pr
-    out = pl.pallas_call(
+    return pl.pallas_call(
         kern, grid=(Hp // Hb, Dp // DC),
         in_specs=[pl.BlockSpec((Hpp, Wp), lambda h, d: (0, 0),
                                memory_space=pltpu.VMEM),
@@ -243,5 +263,58 @@ def box_cost_volume_fused(func: MatchingFunction, img_l, img_r,
         out_shape=jax.ShapeDtypeStruct((Dp, Hp, Wp), cv_dtype),
         scratch_shapes=[pltpu.VMEM((3, Hx, Wpp), jnp.float32)],
         interpret=interpret)(srcp, tgt_stack, stats_s)
+
+
+def box_cost_volume_fused(func: MatchingFunction, img_l, img_r,
+                          h_radius: int, v_radius: int, disp_width: int,
+                          cv_dtype=jnp.float32,
+                          interpret: bool | None = None):
+    """Fused (H, D, W) cost volume for the dot family (CC/NCC/ZCC/ZNCC),
+    RIGHT_TO_LEFT, zero margins, gray images.  Returns None when the
+    configuration is out of scope or cannot fit VMEM (caller falls back
+    to the scan backend)."""
+    kind = {MatchingFunction.CC: "cc", MatchingFunction.NCC: "ncc",
+            MatchingFunction.ZCC: "zcc",
+            MatchingFunction.ZNCC: "zncc"}.get(func)
+    Hb = box_fused_in_scope(func, img_l.shape, h_radius, v_radius,
+                            disp_width, cv_dtype)
+    if Hb is None:
+        return None
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    H, W = img_l.shape
+    D = disp_width
+    Dp = -(-D // 8) * 8
+    out = _fused_call(kind, img_l, img_r, h_radius, v_radius, D, Dp, Hb,
+                      cv_dtype, interpret, negate=False, pad_d_inf=False)
     # (D, H, W) -> (H, D, W): outer-dim move, minor dim preserved
     return jnp.moveaxis(out[:D, :H, :W], 0, 1)
+
+
+def box_cost_volume_fused_padded(func: MatchingFunction, img_l, img_r,
+                                 h_radius: int, v_radius: int,
+                                 disp_width: int, Dp: int,
+                                 cv_dtype=jnp.float32, negate: bool = False,
+                                 interpret: bool | None = None):
+    """The fused cost volume in the SGM-kernel-ready padded layout
+    (Hp, Dp, Wp): rows/cols zero-padded to (8, 128) multiples, d padded
+    to ``Dp`` with the +inf-at-real-pixels pattern, optionally negated
+    (SCORE volumes feed the COST-mode SGM kernels negated).  The only
+    post-kernel op is the outer-dim d<->row move (minor dim preserved,
+    ~bandwidth); the slice/pad/negate copies of the compose-it-yourself
+    chain all disappear.  Returns None out of scope."""
+    kind = {MatchingFunction.CC: "cc", MatchingFunction.NCC: "ncc",
+            MatchingFunction.ZCC: "zcc",
+            MatchingFunction.ZNCC: "zncc"}.get(func)
+    if kind is None or Dp % 8 or Dp < disp_width:
+        return None
+    Hb = box_fused_in_scope(func, img_l.shape, h_radius, v_radius,
+                            Dp, cv_dtype)
+    if Hb is None:
+        return None
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    out = _fused_call(kind, img_l, img_r, h_radius, v_radius, disp_width,
+                      Dp, Hb, cv_dtype, interpret, negate=negate,
+                      pad_d_inf=True)
+    return jnp.moveaxis(out, 0, 1)        # (Hp, Dp, Wp), minor dim kept

@@ -404,6 +404,104 @@ def sgm_cost_volume(cv: jnp.ndarray, P1: float, P2: float,
     return sgm
 
 
+def _tcv_from_bands(idx, bands, H, W, D, h_radius, v_radius, r):
+    """Assemble the SAME-mode truncated cost volume from the fused WTA
+    kernel's (idx, bands) maps: out-of-range / margin-clipped slots go
+    NaN, matching `truncated_cost_volume` (`correlation_base.h:582-674`)."""
+    ii = jnp.arange(H, dtype=jnp.int32)[:, None]
+    jj = jnp.arange(W, dtype=jnp.int32)[None, :]
+    nan = jnp.float32(jnp.nan)
+    slots = []
+    for k in range(2 * r + 1):
+        p = idx + (k - r)
+        valid = ((p >= 0) & (p < D)
+                 & (jj >= h_radius) & (jj + p + h_radius < W)
+                 & (ii >= v_radius) & (ii + v_radius < H))
+        slots.append(jnp.where(valid, bands[..., k], nan))
+    from ..core.types import disp_dtype
+    return idx.astype(disp_dtype), jnp.stack(slots, axis=-1)
+
+
+def dense_sgm_stereo(func, img_l: jnp.ndarray, img_r: jnp.ndarray,
+                     h_radius: int, v_radius: int, disp_width: int,
+                     P1: float, P2: float, *, Pout: float = 100.0,
+                     n_directions: int = 8, cost_vol_radius: int = 1,
+                     refine_kernel=None, cv_dtype=jnp.float32,
+                     backend: str = "auto"):
+    """Dense SGM stereo end-to-end: cost volume -> 4/8/16-direction SGM
+    -> tie-last WTA -> truncated band -> optional cost-based subpixel —
+    the dense hot loop of `examples/stereo-match/main.cpp:234-258`.
+
+    On TPU with a dot-family matching cost this runs the zero-relayout
+    fast path: the cost volume is EMITTED by the fused box kernels in
+    BOTH Pallas-native layouts ((Dp, Hp, Wp) d-outer for the down/up
+    passes and (Dp, Wp, Hl) for the horizontal + WTA passes, already
+    negated for SCORE functions and +inf-d-padded), so the only
+    full-volume relayout in the whole pipeline is the vertical
+    adjustment transpose — worth ~1 ms/frame at 480x640 D=120 against
+    the compose-it-yourself chain.  Everywhere else it is exactly
+    ``unfold_based_cost_volume`` -> ``sgm_wta_truncated`` ->
+    ``refine_disp_cost_interpolation``.
+
+    Returns ``(disp, idx, tcv)``: refined disparity (H, W) f32 (equal to
+    ``idx`` when ``refine_kernel`` is None), the raw WTA index map, and
+    the truncated cost volume (COST orientation)."""
+    from ..core.types import MATCH_TRAITS
+    from .refinement import refine_disp_cost_interpolation
+    strategy = MATCH_TRAITS[func].strategy
+    sign = 1.0 if strategy is ExtractionStrategy.COST else -1.0
+    H, W = img_l.shape
+    D = int(disp_width)
+    r = cost_vol_radius
+    use_pallas = backend in ("auto", "pallas") \
+        and jax.default_backend() == "tpu"
+
+    idx = tcv = None
+    if use_pallas and n_directions in (4, 8, 16) and P2 >= P1:
+        from .box_pallas import box_cost_volume_fused_padded
+        from .sgm_pallas_dhw import sgm_fused_wta_from_native
+        dt = jnp.bfloat16 if cv_dtype == jnp.bfloat16 else jnp.float32
+        if dt == jnp.bfloat16 and n_directions >= 16:
+            dt = jnp.float32       # knight streams break packed-pair bf16
+        sub = 8 if jnp.dtype(dt).itemsize == 4 else 16
+        Dp = -(-D // sub) * sub
+        Hp = -(-H // 8) * 8
+        Hl = -(-H // 128) * 128
+        cv_nat = box_cost_volume_fused_padded(
+            func, img_l, img_r, h_radius, v_radius, D, Dp, dt,
+            negate=sign < 0, interpret=False)
+        if cv_nat is not None:
+            # the transposed volume comes from ONE fused XLA relayout of
+            # the padded volume (measured faster in context than a second
+            # axis-swapped kernel invocation — the per-disparity sublane
+            # shifts make the transposed builder ~1 ms vs ~0.4 ms for
+            # XLA's tile transpose; see docs/PERF.md round-4 notes)
+            cv_T = jnp.pad(jnp.transpose(cv_nat, (2, 1, 0)),
+                           ((0, 0), (0, 0), (0, Hl - Hp)))
+            res = sgm_fused_wta_from_native(
+                cv_nat, cv_T, H, W, D, 0, W, float(P1), float(P2),
+                float(Pout), n_directions, wta_radius=r, interpret=False)
+            if res is not None:
+                idx, tcv = _tcv_from_bands(res[0], res[1], H, W, D,
+                                           h_radius, v_radius, r)
+
+    if idx is None:
+        from .cost_volume import unfold_based_cost_volume
+        cv = unfold_based_cost_volume(func, img_l, img_r, h_radius,
+                                      v_radius, D, cv_dtype=cv_dtype,
+                                      backend="auto", layout="dhw")
+        idx, tcv = sgm_wta_truncated(
+            cv, P1, P2, Pout=Pout, n_directions=n_directions,
+            strategy=strategy, h_radius=h_radius, v_radius=v_radius,
+            cost_vol_radius=r, backend=backend, layout="dhw")
+
+    if refine_kernel is None:
+        disp = idx.astype(jnp.float32)
+    else:
+        disp = refine_disp_cost_interpolation(refine_kernel, tcv, idx)
+    return disp, idx, tcv
+
+
 def sgm_wta_truncated(cv: jnp.ndarray, P1: float, P2: float,
                       margins: Margins = Margins(), Pout: float = 100.0,
                       n_directions: int = 8,
@@ -456,18 +554,8 @@ def sgm_wta_truncated(cv: jnp.ndarray, P1: float, P2: float,
                                 n_directions, wta_radius=r)
         if res is not None:
             idx, bands = res
-            ii = jnp.arange(H, dtype=jnp.int32)[:, None]
-            jj = jnp.arange(W, dtype=jnp.int32)[None, :]
-            nan = jnp.float32(jnp.nan)
-            slots = []
-            for k in range(2 * r + 1):
-                p = idx + (k - r)
-                valid = ((p >= 0) & (p < D)
-                         & (jj >= h_radius) & (jj + p + h_radius < W)
-                         & (ii >= v_radius) & (ii + v_radius < H))
-                slots.append(jnp.where(valid, bands[..., k], nan))
-            from ..core.types import disp_dtype
-            return idx.astype(disp_dtype), jnp.stack(slots, axis=-1)
+            return _tcv_from_bands(idx, bands, H, W, D, h_radius,
+                                   v_radius, r)
 
     if layout == "dhw":
         cv = jnp.moveaxis(cv, 1, -1)

@@ -534,11 +534,36 @@ def sgm_fused_wta_dhw(region: jnp.ndarray, ml: int, W_pout: int, P1: float,
                     knight=n_directions >= 16)
 
 
+def sgm_fused_wta_from_native(cv_nat, cv_T_nat, H1: int, W1: int, D: int,
+                              ml: int, W_pout: int, P1: float, P2: float,
+                              Pout: float, n_directions: int,
+                              wta_radius: int,
+                              vmem_budget: int = 12 * 1024 * 1024,
+                              interpret: bool | None = None):
+    """SGM + WTA from cost volumes PRE-BUILT in both kernel-native
+    layouts: ``cv_nat`` (Dp, Hp, Wp) d-outer row-major and ``cv_T_nat``
+    (Dp, Wp, Hl) d-outer column-major (see
+    `box_pallas.box_cost_volume_fused_padded` / `_T`).  The passes read
+    both via d-outer block specs, so the only full-volume relayout left
+    in the pipeline is the down/up adjustment transpose.  Returns
+    (idx, bands) or None when the geometry cannot fit the fused path."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    return _run_dhw(None, ml, W_pout, P1, P2, Pout, n_directions >= 8,
+                    vmem_budget, interpret, wta_radius,
+                    knight=n_directions >= 16,
+                    native=(cv_nat, cv_T_nat, H1, W1, D))
+
+
 def _run_dhw(region, ml, W_pout, P1, P2, Pout, diag, vmem_budget,
-             interpret, wta_radius, knight=False):
-    H1, D, W1 = region.shape
-    dt = region.dtype if region.dtype in (jnp.bfloat16, jnp.float32) \
-        else jnp.float32
+             interpret, wta_radius, knight=False, native=None):
+    if native is not None:
+        cv_nat, cv_T_nat, H1, W1, D = native
+        dt = cv_nat.dtype
+    else:
+        H1, D, W1 = region.shape
+        dt = region.dtype if region.dtype in (jnp.bfloat16, jnp.float32) \
+            else jnp.float32
     isz = jnp.dtype(dt).itemsize
     sub = 8 if isz == 4 else 16          # min sublane tile per dtype
     Dp = _round_up(D, sub)
@@ -568,21 +593,28 @@ def _run_dhw(region, ml, W_pout, P1, P2, Pout, diag, vmem_budget,
     Wp_rows = Wp                         # lane pad of the normal passes
                                          # doubles as T-side scan-row pad
 
-    # +inf at padded d sublanes; zeros at padded rows/lanes (padded lanes
-    # self-sustain zero carries because their Pout is gated off)
-    cv_p = jnp.pad(region.astype(dt),
-                   ((0, 0), (0, Dp - D), (0, 0)), constant_values=jnp.inf)
-    cv_p = jnp.pad(cv_p, ((0, Hp - H1), (0, 0), (0, Wp - W1)))
+    if native is not None:
+        assert cv_nat.shape == (Hp, Dp, Wp), (cv_nat.shape, (Hp, Dp, Wp))
+        assert cv_T_nat.shape == (Wp, Dp, Hp_lanes), cv_T_nat.shape
+        cv_rows, cv_cols = cv_nat, cv_T_nat
+    else:
+        # +inf at padded d sublanes; zeros at padded rows/lanes (padded
+        # lanes self-sustain zero carries: their Pout is gated off)
+        cv_p = jnp.pad(region.astype(dt),
+                       ((0, 0), (0, Dp - D), (0, 0)),
+                       constant_values=jnp.inf)
+        cv_p = jnp.pad(cv_p, ((0, Hp - H1), (0, 0), (0, Wp - W1)))
+        cv_rows = cv_p
 
     kw = dict(ml=ml, W_pout=W_pout, P1=P1, P2=P2, Pout=Pout,
               interpret=interpret, knight=knight)
     # vertical + diagonals: two streaming passes over image rows (corner
     # doubling rides a precomputed weight stream — fewer ops on the
     # issue-limited row chain)
-    adj = _rows_call(cv_p, None, RC=rc_down, N1=H1, X1=W1, reverse=False,
+    adj = _rows_call(cv_rows, None, RC=rc_down, N1=H1, X1=W1, reverse=False,
                      diag=diag, transposed=False, H_corner=H1,
                      corner_stream=True, **kw)
-    adj = _rows_call(cv_p, adj, RC=rc_up, N1=H1, X1=W1, reverse=True,
+    adj = _rows_call(cv_rows, adj, RC=rc_up, N1=H1, X1=W1, reverse=True,
                      diag=diag, transposed=False, H_corner=H1,
                      corner_stream=True, **kw)
 
@@ -591,15 +623,18 @@ def _run_dhw(region, ml, W_pout, P1, P2, Pout, diag, vmem_budget,
         xt = jnp.transpose(x[:H1, :, :], (2, 1, 0))
         return jnp.pad(xt, ((0, 0), (0, 0), (0, Hp_lanes - H1)))
 
-    cv_T = to_T(cv_p)                   # keeps +inf d-pad, zero lane pad
-    adj_T = to_T(adj)
+    if native is None:
+        cv_cols = to_T(cv_p)            # keeps +inf d-pad, zero lane pad
+    adj_T = to_T(adj)                   # the ONE full-volume relayout
 
-    adj_T = _rows_call(cv_T, adj_T, RC=rc_fwd, N1=W1, X1=H1, reverse=False,
-                       diag=False, transposed=True, H_corner=H1, **kw)
+    adj_T = _rows_call(cv_cols, adj_T, RC=rc_fwd, N1=W1, X1=H1,
+                       reverse=False, diag=False, transposed=True,
+                       H_corner=H1, **kw)
 
     if wta_radius is None:
-        adj_T = _rows_call(cv_T, adj_T, RC=rc_fwd, N1=W1, X1=H1, reverse=True,
-                           diag=False, transposed=True, H_corner=H1, **kw)
+        adj_T = _rows_call(cv_cols, adj_T, RC=rc_fwd, N1=W1, X1=H1,
+                           reverse=True, diag=False, transposed=True,
+                           H_corner=H1, **kw)
         return jnp.transpose(adj_T[:W1, :D, :H1], (2, 1, 0))
 
     r = wta_radius
@@ -615,21 +650,21 @@ def _run_dhw(region, ml, W_pout, P1, P2, Pout, diag, vmem_budget,
         ml=ml, W_pout=W_pout, P1=float(P1), P2=float(P2), Pout=float(Pout),
         r=r, knight=knight, knight_stream=knight)
     in_specs = [spec, spec]
-    args = (cv_T, adj_T)
+    args = (cv_cols, adj_T)
     if knight:
         kw_spec = pl.BlockSpec((rc_t, 4, Hp_lanes),
                                lambda h: (n_chunks - 1 - h, 0, 0),
                                memory_space=pltpu.VMEM)
         in_specs.append(kw_spec)
         args = args + (_knight_weights(Wp_rows, Hp_lanes, H1, W1, True,
-                                       cv_T.dtype),)
+                                       cv_cols.dtype),)
     outs = pl.pallas_call(
         kernel, grid=(n_chunks,), in_specs=in_specs,
         out_specs=[map_spec] * (2 + 2 * r),
         out_shape=([jax.ShapeDtypeStruct((Wp_rows, Hp_lanes), jnp.int32)]
                    + [jax.ShapeDtypeStruct((Wp_rows, Hp_lanes), jnp.float32)]
                    * (2 * r + 1)),
-        scratch_shapes=[pltpu.VMEM((Dp, Hp_lanes), cv_T.dtype)]
+        scratch_shapes=[pltpu.VMEM((Dp, Hp_lanes), cv_cols.dtype)]
         * (5 if knight else 1),
         interpret=interpret)(*args)
     idx = outs[0][:W1, :H1].T
