@@ -138,8 +138,12 @@ def _kernel(src_ref, tgtp_ref, stats_ref, out_ref, scr_ref, *, DC, Hb,
         # in-range cost there is 0, so cv' is EITHER cost OR Pout and
         # the DP carries stay bit-identical); the WTA pass restores the
         # direction multiplicity once (see `_dhw_wta_kernel`)
-        oob = 0.0 if pout_bake is None else float(pout_bake)
-        val = jnp.where(in_range, cost, oob)
+        if pout_bake is None:
+            val = jnp.where(in_range, cost, 0.0)
+        else:
+            # padded lanes (jj >= W1) must stay exact zero
+            val = jnp.where(in_range, cost,
+                            jnp.where(jj < W1, float(pout_bake), 0.0))
         if pad_d_inf:
             # d sublanes beyond the true disparity range carry +inf at
             # real (i, j) positions and zero at padded ones — exactly
@@ -234,7 +238,7 @@ def _prep_inputs(kind, img_l, img_r, h_radius, v_radius, Hp, Wp, Wpp):
 
 
 def _fused_call(kind, img_l, img_r, h_radius, v_radius, D, Dp, Hb,
-                cv_dtype, interpret, negate, pad_d_inf):
+                cv_dtype, interpret, negate, pad_d_inf, pout_bake=None):
     H, W = img_l.shape
     DC = 8
     Hp = -(-H // 8) * 8
@@ -247,7 +251,8 @@ def _fused_call(kind, img_l, img_r, h_radius, v_radius, D, Dp, Hb,
     kern = functools.partial(
         _kernel, DC=DC, Hb=Hb, Wp=Wp, Wpp=Wpp, h_radius=h_radius,
         v_radius=v_radius, n=n, kind=kind, cv_dtype=cv_dtype, W1=W,
-        negate=negate, pad_d_inf=pad_d_inf, D=D, H1=H)
+        negate=negate, pad_d_inf=pad_d_inf, D=D, H1=H,
+        pout_bake=pout_bake)
     Hpp = Hp + 2 * pr
     Hx = Hb + 2 * pr
     return pl.pallas_call(
@@ -295,6 +300,7 @@ def box_cost_volume_fused_padded(func: MatchingFunction, img_l, img_r,
                                  h_radius: int, v_radius: int,
                                  disp_width: int, Dp: int,
                                  cv_dtype=jnp.float32, negate: bool = False,
+                                 pout_bake=None,
                                  interpret: bool | None = None):
     """The fused cost volume in the SGM-kernel-ready padded layout
     (Hp, Dp, Wp): rows/cols zero-padded to (8, 128) multiples, d padded
@@ -316,5 +322,5 @@ def box_cost_volume_fused_padded(func: MatchingFunction, img_l, img_r,
         interpret = jax.default_backend() != "tpu"
     out = _fused_call(kind, img_l, img_r, h_radius, v_radius, disp_width,
                       Dp, Hb, cv_dtype, interpret, negate=negate,
-                      pad_d_inf=True)
+                      pad_d_inf=True, pout_bake=pout_bake)
     return jnp.moveaxis(out, 0, 1)        # (Hp, Dp, Wp), minor dim kept

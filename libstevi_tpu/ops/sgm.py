@@ -465,22 +465,27 @@ def dense_sgm_stereo(func, img_l: jnp.ndarray, img_r: jnp.ndarray,
             dt = jnp.float32       # knight streams break packed-pair bf16
         sub = 8 if jnp.dtype(dt).itemsize == 4 else 16
         Dp = -(-D // sub) * sub
-        Hp = -(-H // 8) * 8
-        Hl = -(-H // 128) * 128
+        # Pout baking (4/8 directions): the out-of-image penalty rides
+        # the cost stream once, dropping the per-carry +Pout add from
+        # every issue-limited DP row; the WTA pass restores the
+        # direction multiplicity in one f32 op.  Bit-identical carries
+        # (see `sgm_pallas_dhw._dw_step`).
+        bake = n_directions < 16
         cv_nat = box_cost_volume_fused_padded(
             func, img_l, img_r, h_radius, v_radius, D, Dp, dt,
-            negate=sign < 0, interpret=False)
+            negate=sign < 0, pout_bake=float(Pout) if bake else None,
+            interpret=False)
         if cv_nat is not None:
-            # the transposed volume comes from ONE fused XLA relayout of
-            # the padded volume (measured faster in context than a second
-            # axis-swapped kernel invocation — the per-disparity sublane
-            # shifts make the transposed builder ~1 ms vs ~0.4 ms for
-            # XLA's tile transpose; see docs/PERF.md round-4 notes)
-            cv_T = jnp.pad(jnp.transpose(cv_nat, (2, 1, 0)),
-                           ((0, 0), (0, 0), (0, Hl - Hp)))
+            # the transposed volume comes from ONE pad-free XLA relayout
+            # of the padded volume (measured faster in context than a
+            # second axis-swapped kernel invocation — the per-disparity
+            # sublane shifts make the transposed builder ~1 ms vs ~0.4 ms
+            # for XLA's tile transpose; see docs/PERF.md round-4 notes)
+            cv_T = jnp.transpose(cv_nat, (2, 1, 0))
             res = sgm_fused_wta_from_native(
                 cv_nat, cv_T, H, W, D, 0, W, float(P1), float(P2),
-                float(Pout), n_directions, wta_radius=r, interpret=False)
+                float(Pout), n_directions, wta_radius=r, interpret=False,
+                pout_baked=bake)
             if res is not None:
                 idx, tcv = _tcv_from_bands(res[0], res[1], H, W, D,
                                            h_radius, v_radius, r)

@@ -58,14 +58,21 @@ def _dw_step(prev, base, pout_add, P1, P2):
     sublanes).  `prev` is the carry with +inf at padded d rows; returns
     (cur, adj) with cur = base + adj (`sgm.h:230-300`).  Dtype-generic:
     bf16 tiles run packed 2-per-lane on the VPU (measured 4.2x over f32
-    per pass), with P1/P2 weak-typed into the tile dtype."""
+    per pass), with P1/P2 weak-typed into the tile dtype.
+
+    ``pout_add=None`` is the Pout-BAKED mode: the out-of-image penalty
+    already rides the cost stream (`box_pallas` ``pout_bake``), so the
+    per-row +Pout add disappears from the issue-limited chain.  Because
+    the in-range cost at out-of-range (j+d >= W) entries is exactly 0,
+    ``base = Pout`` there and ``cur = base + (agg - m)`` is bit-identical
+    to the unbaked ``cur = 0 + (agg - m + Pout)``."""
     m = jnp.min(prev, axis=0, keepdims=True)
     inf_row = jnp.full((1, prev.shape[1]), _INF, prev.dtype)
     up = jnp.concatenate([inf_row, prev[:-1]], axis=0)
     dn = jnp.concatenate([prev[1:], inf_row], axis=0)
     agg = jnp.minimum(jnp.minimum(prev, m + P2),
                       jnp.minimum(up, dn) + P1)
-    adj = agg - m + pout_add
+    adj = agg - m if pout_add is None else agg - m + pout_add
     return base + adj, adj
 
 
@@ -118,7 +125,8 @@ def _knight_row(c_k, base, pa, t, t_par, lanes, X1, P1, P2, upd, dt, zcol,
 def _dhw_rows_kernel(*refs, RC, Dp, Xp, Np, N1, X1, ml, W_pout, P1, P2,
                      Pout, reverse, diag, accumulate, transposed,
                      with_carries, H_corner, knight=False, N_glob=None,
-                     corner_stream=False, knight_stream=False):
+                     corner_stream=False, knight_stream=False,
+                     pout_baked=False):
     """One streaming pass over scan rows of a (N, Dp, Xp) volume.
 
     Normal orientation (``transposed=False``): scan rows are image rows,
@@ -143,6 +151,10 @@ def _dhw_rows_kernel(*refs, RC, Dp, Xp, Np, N1, X1, ml, W_pout, P1, P2,
     extents) so the drift parity stays concrete at trace time."""
     if knight and RC % 2:
         raise ValueError("knight passes need an even row chunk")
+    if knight and pout_baked:
+        raise ValueError("Pout baking is not supported with knight "
+                         "directions (phase-gated weights make the "
+                         "multiplicity row-dependent)")
     if N_glob is None:
         N_glob = N1
     n_carries = (3 if diag else 1) + (4 if knight else 0)
@@ -203,10 +215,11 @@ def _dhw_rows_kernel(*refs, RC, Dp, Xp, Np, N1, X1, ml, W_pout, P1, P2,
     dd = jax.lax.broadcasted_iota(jnp.int32, (Dp, Xp), 0)
     lanes = jax.lax.broadcasted_iota(jnp.int32, (Dp, Xp), 1)
     lane_ok = lanes < X1
-    if transposed:
-        # Pout depends on the scan position (image column) and d only;
-        # computed per row below.  Padded scan rows get zero Pout so
-        # their carries self-sustain zero.
+    if pout_baked or transposed:
+        # baked: the penalty rides the cost stream (no per-row add).
+        # transposed (unbaked): Pout depends on the scan position (image
+        # column) and d only; computed per row below.  Padded scan rows
+        # get zero Pout so their carries self-sustain zero.
         pout_add = None
         dd_col = jax.lax.broadcasted_iota(jnp.int32, (Dp, 1), 0)
     else:
@@ -231,7 +244,7 @@ def _dhw_rows_kernel(*refs, RC, Dp, Xp, Np, N1, X1, ml, W_pout, P1, P2,
         base = cv_ref[rr]
         row_ok = i < N1
 
-        if transposed:
+        if transposed and not pout_baked:
             pa = jnp.where((ml + ig + dd_col >= W_pout) & (ig < N_glob),
                            Pout, 0.0).astype(dt)
         else:
@@ -311,14 +324,22 @@ def _dhw_rows_kernel(*refs, RC, Dp, Xp, Np, N1, X1, ml, W_pout, P1, P2,
 
 
 def _dhw_wta_kernel(*refs, RC, Dp, Xp, N1, X1, D, ml, W_pout, P1, P2,
-                    Pout, r, knight=False, knight_stream=False):
+                    Pout, r, knight=False, knight_stream=False,
+                    bake_mult=None, bake_corners=False):
     """The reverse-horizontal pass over the transposed (W, Dp, H) volume,
     fused with tie-last WTA + truncated-band extraction: per image
     column j (scan row) emits the argmin index over d of the complete
     SGM value C = cv + adj_total, and C at idx-r..idx+r — all as sublane
     reductions on (Dp, H-lanes) tiles.  The center band is the min value
     itself.  ``acc`` holds the accumulated down + up + forward-horizontal
-    adjustment.  Outputs are (W, H) maps (caller transposes back)."""
+    adjustment.  Outputs are (W, H) maps (caller transposes back).
+
+    ``bake_mult`` enables the Pout-BAKED mode: the other passes carried
+    no +Pout adds (the penalty rides the cost stream once), so this pass
+    restores the remaining direction multiplicity in one f32 op:
+    C += pa * (n_dirs - 1 + corner_doubling).  ``bake_corners`` adds the
+    four double-covered diagonal corner-line indicators
+    (`sgm.h:329-355`) — only the 8-direction set has them."""
     n_scr = 1 + (4 if knight else 0)
     rest = list(refs)
     cv_ref = rest.pop(0)
@@ -342,16 +363,21 @@ def _dhw_wta_kernel(*refs, RC, Dp, Xp, N1, X1, D, ml, W_pout, P1, P2,
     dd = jax.lax.broadcasted_iota(jnp.int32, (Dp, Xp), 0)
     dd_col = jax.lax.broadcasted_iota(jnp.int32, (Dp, 1), 0)
     lanes = jax.lax.broadcasted_iota(jnp.int32, (Dp, Xp), 1)
+    li = jax.lax.broadcasted_iota(jnp.int32, (1, Xp), 1)  # image row
     zcol = jnp.zeros((Dp, 1), dt)
     b = n - 1 - h
     carry = carry_ref[:]
     c_k = [kc[:] for kc in k_refs]
+    if knight and bake_mult is not None:
+        raise ValueError("Pout baking is not supported with knight "
+                         "directions")
     row_mask = pl.cdiv(N1, RC) * RC != N1
     for rr in range(RC - 1, -1, -1):
         j = b * RC + rr                 # image column
         base = cv_ref[rr]
-        pa = jnp.where((ml + j + dd_col >= W_pout) & (j < N1),
-                       Pout, 0.0).astype(dt)
+        pa32 = jnp.where((ml + j + dd_col >= W_pout) & (j < N1),
+                         jnp.float32(Pout), 0.0)
+        pa = None if bake_mult is not None else pa32.astype(dt)
         cur, adj = _dw_step(carry, base, pa, P1, P2)
         carry = jnp.where(j < N1, cur, jnp.zeros((), dt)) \
             if row_mask else cur
@@ -372,6 +398,20 @@ def _dhw_wta_kernel(*refs, RC, Dp, Xp, N1, X1, D, ml, W_pout, P1, P2,
         # packed-bf16 compare masks cannot relayout against the i32 iota
         # (Mosaic restriction), and the bands are f32 outputs anyway.
         C = (acc_ref[rr] + adj + base).astype(jnp.float32)
+        if bake_mult is not None:
+            # restore the out-of-image penalty multiplicity: the cost
+            # stream carried pa ONCE; the true SGM value counts it per
+            # direction (plus double-covered corner lines).  Affects
+            # only out-of-range (j + d >= W) entries, which never win
+            # the argmin and whose band slots are NaN-masked downstream.
+            mult = jnp.full((1, Xp), float(bake_mult), jnp.float32)
+            if bake_corners:
+                m4 = ((li == j).astype(jnp.float32)
+                      + (li == j - (N1 - X1)).astype(jnp.float32)
+                      + (li == N1 - 1 - j).astype(jnp.float32)
+                      + (li == X1 - 1 - j).astype(jnp.float32))
+                mult = mult + jnp.where(li < X1, m4, 0.0)
+            C = C + pa32 * mult
         m = jnp.min(C, axis=0, keepdims=True)
         idx = jnp.max(jnp.where(C == m, dd, -1), axis=0)
         idx_ref[rr] = idx
@@ -429,7 +469,7 @@ def _knight_weights(Np, Xp, X1, N_glob, reverse, dt):
 
 def _rows_call(cv_p, acc, *, RC, N1, X1, ml, W_pout, P1, P2, Pout,
                reverse, diag, transposed, H_corner, interpret,
-               knight=False, corner_stream=False):
+               knight=False, corner_stream=False, pout_baked=False):
     Np, Dp, Xp = cv_p.shape
     n_chunks = Np // RC
     if reverse:
@@ -450,7 +490,7 @@ def _rows_call(cv_p, acc, *, RC, N1, X1, ml, W_pout, P1, P2, Pout,
         reverse=reverse, diag=diag, accumulate=acc is not None,
         transposed=transposed, with_carries=False, H_corner=H_corner,
         knight=knight, corner_stream=corner_stream,
-        knight_stream=knight_stream)
+        knight_stream=knight_stream, pout_baked=pout_baked)
     in_specs = [spec] if acc is None else [spec, spec]
     args = (cv_p,) if acc is None else (cv_p, acc)
     if corner_stream:
@@ -539,7 +579,8 @@ def sgm_fused_wta_from_native(cv_nat, cv_T_nat, H1: int, W1: int, D: int,
                               Pout: float, n_directions: int,
                               wta_radius: int,
                               vmem_budget: int = 12 * 1024 * 1024,
-                              interpret: bool | None = None):
+                              interpret: bool | None = None,
+                              pout_baked: bool = False):
     """SGM + WTA from cost volumes PRE-BUILT in both kernel-native
     layouts: ``cv_nat`` (Dp, Hp, Wp) d-outer row-major and ``cv_T_nat``
     (Dp, Wp, Hl) d-outer column-major (see
@@ -549,14 +590,18 @@ def sgm_fused_wta_from_native(cv_nat, cv_T_nat, H1: int, W1: int, D: int,
     (idx, bands) or None when the geometry cannot fit the fused path."""
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
+    if pout_baked and n_directions >= 16:
+        raise ValueError("Pout baking requires n_directions in (4, 8)")
     return _run_dhw(None, ml, W_pout, P1, P2, Pout, n_directions >= 8,
                     vmem_budget, interpret, wta_radius,
                     knight=n_directions >= 16,
-                    native=(cv_nat, cv_T_nat, H1, W1, D))
+                    native=(cv_nat, cv_T_nat, H1, W1, D),
+                    pout_baked=pout_baked)
 
 
 def _run_dhw(region, ml, W_pout, P1, P2, Pout, diag, vmem_budget,
-             interpret, wta_radius, knight=False, native=None):
+             interpret, wta_radius, knight=False, native=None,
+             pout_baked=False):
     if native is not None:
         cv_nat, cv_T_nat, H1, W1, D = native
         dt = cv_nat.dtype
@@ -568,7 +613,11 @@ def _run_dhw(region, ml, W_pout, P1, P2, Pout, diag, vmem_budget,
     sub = 8 if isz == 4 else 16          # min sublane tile per dtype
     Dp = _round_up(D, sub)
     Wp = _round_up(W1, 128)
-    Hp_lanes = _round_up(H1, 128)        # lane extent of the T volume
+    # lane extent of the T volume: the minor dim may be RAGGED (Mosaic
+    # masks the last tile), so only 8-align it — it then matches the
+    # row-padded height exactly and the transpose needs NO pad op
+    # (measured ~0.12 ms/frame at 480x640 vs 128-rounding)
+    Hp_lanes = _round_up(H1, 8)
 
     nck = 4 if knight else 0             # knight: 2 dirs x 2 phases/pass
     nc = (3 if diag else 1) + nck
@@ -607,7 +656,7 @@ def _run_dhw(region, ml, W_pout, P1, P2, Pout, diag, vmem_budget,
         cv_rows = cv_p
 
     kw = dict(ml=ml, W_pout=W_pout, P1=P1, P2=P2, Pout=Pout,
-              interpret=interpret, knight=knight)
+              interpret=interpret, knight=knight, pout_baked=pout_baked)
     # vertical + diagonals: two streaming passes over image rows (corner
     # doubling rides a precomputed weight stream — fewer ops on the
     # issue-limited row chain)
@@ -618,10 +667,10 @@ def _run_dhw(region, ml, W_pout, P1, P2, Pout, diag, vmem_budget,
                      diag=diag, transposed=False, H_corner=H1,
                      corner_stream=True, **kw)
 
-    # transpose to (W, D, H) for the horizontal passes
+    # transpose to (W, D, H) for the horizontal passes: Hp_lanes == Hp,
+    # so this is a pure relayout with no pad
     def to_T(x):
-        xt = jnp.transpose(x[:H1, :, :], (2, 1, 0))
-        return jnp.pad(xt, ((0, 0), (0, 0), (0, Hp_lanes - H1)))
+        return jnp.transpose(x, (2, 1, 0))
 
     if native is None:
         cv_cols = to_T(cv_p)            # keeps +inf d-pad, zero lane pad
@@ -648,7 +697,9 @@ def _run_dhw(region, ml, W_pout, P1, P2, Pout, diag, vmem_budget,
     kernel = functools.partial(
         _dhw_wta_kernel, RC=rc_t, Dp=Dp, Xp=Hp_lanes, N1=W1, X1=H1, D=D,
         ml=ml, W_pout=W_pout, P1=float(P1), P2=float(P2), Pout=float(Pout),
-        r=r, knight=knight, knight_stream=knight)
+        r=r, knight=knight, knight_stream=knight,
+        bake_mult=((8 if diag else 4) - 1) if pout_baked else None,
+        bake_corners=pout_baked and diag)
     in_specs = [spec, spec]
     args = (cv_cols, adj_T)
     if knight:

@@ -66,9 +66,7 @@ for nd in (4, 8, 16):
         cv_nat = box_cost_volume_fused_padded(
             MatchingFunction.ZNCC, img_l, img_r, 3, 3, D, Dp, dt,
             negate=True, interpret=True)
-        Hl2 = -(-H // 128) * 128
-        cv_T = jnp.pad(jnp.transpose(cv_nat, (2, 1, 0)),
-                       ((0, 0), (0, 0), (0, Hl2 - cv_nat.shape[0])))
+        cv_T = jnp.transpose(cv_nat, (2, 1, 0))
         new = dhw.sgm_fused_wta_from_native(
             cv_nat, cv_T, H, W, D, 0, W, 0.1, 0.5, 100.0, nd,
             wta_radius=1, interpret=True)
