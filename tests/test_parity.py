@@ -153,6 +153,160 @@ def test_patchmatch_on_pair(pair):
     assert pg > 0.85, pg
 
 
+# ---------------------------------------------------------------------------
+# Fixture #2: true layered occlusions + radiometric asymmetry
+# ---------------------------------------------------------------------------
+#
+# The first fixture is an occlusion-free smooth warp; this one renders
+# opaque surfaces with real left-view visibility (occluded background
+# pixels show a DIFFERENT surface in the target view), 20-60 px
+# disparity jumps, fractional disparities everywhere, and exposure
+# gain/gamma + independent noise between the views — the content class
+# SGM's P1/P2 discontinuity handling and the reference's SimStereo
+# accuracy runs exist for (`examples/stereo-match/main.cpp:234-303`).
+# GT is NaN at occluded pixels and window-wide discontinuity bands, so
+# prop_good scores the visible-surface estimate only.
+
+
+@pytest.fixture(scope="module")
+def pair_occ():
+    L = jnp.asarray(read_image(os.path.join(DATA, "left_occ_small.stevimg"),
+                               np.float32))
+    R = jnp.asarray(read_image(os.path.join(DATA, "right_occ_small.stevimg"),
+                               np.float32))
+    gt = read_image(os.path.join(DATA, "gt_occ_small.stevimg"), np.float32)
+    occ = read_image(os.path.join(DATA, "occ_mask_small.stevimg"),
+                     np.float32) > 0.5
+    return L, R, gt, occ
+
+
+def test_occ_fixture_has_occlusions(pair_occ):
+    """The fixture genuinely contains occluded pixels (≈8%) and NaN-GT
+    at them."""
+    L, R, gt, occ = pair_occ
+    assert 0.04 < occ.mean() < 0.20, occ.mean()
+    assert np.isnan(gt[occ]).all()
+
+
+def test_occ_wta_zncc(pair_occ):
+    L, R, gt, occ = pair_occ
+    cv = unfold_based_cost_volume(MatchingFunction.ZNCC, L, R, 2, 2, 32)
+    idx = extract_selected_index(
+        cv, MATCH_TRAITS[MatchingFunction.ZNCC].strategy)
+    disp = np.asarray(selected_index_to_disp(idx), np.float32)
+    assert prop_good(disp, gt, 2.0) > 0.90
+
+
+def test_occ_sgm_subpixel_zncc(pair_occ):
+    """SGM-8 must hold accuracy THROUGH disparity discontinuities and
+    next to occlusions — its reason to exist (P1/P2, `sgm.h:187-306`)."""
+    L, R, gt, occ = pair_occ
+    cv = unfold_based_cost_volume(MatchingFunction.ZNCC, L, R, 2, 2, 32)
+    st = MATCH_TRAITS[MatchingFunction.ZNCC].strategy
+    idx, tcv = sgm_wta_truncated(cv, 0.1, 0.5, n_directions=8, strategy=st,
+                                 h_radius=2, v_radius=2)
+    disp = np.asarray(refine_disp_cost_interpolation(
+        InterpolationKernel.PARABOLA, tcv, idx), np.float32)
+    pg = prop_good(disp, gt, 2.0)
+    assert pg > 0.98, pg
+    assert inlier_mae(disp, gt, 2.0) < 0.30
+
+
+def test_occ_sgm16(pair_occ):
+    L, R, gt, occ = pair_occ
+    cv = unfold_based_cost_volume(MatchingFunction.ZNCC, L, R, 2, 2, 32)
+    st = MATCH_TRAITS[MatchingFunction.ZNCC].strategy
+    idx, tcv = sgm_wta_truncated(cv, 0.1, 0.5, n_directions=16, strategy=st,
+                                 h_radius=2, v_radius=2)
+    disp = np.asarray(refine_disp_cost_interpolation(
+        InterpolationKernel.PARABOLA, tcv, idx), np.float32)
+    assert prop_good(disp, gt, 2.0) > 0.98
+
+
+def test_occ_census_sgm(pair_occ):
+    """Census is rank-based, hence robust to the exposure gain/gamma
+    asymmetry between the views; census+SGM is the production pairing."""
+    L, R, gt, occ = pair_occ
+    cv = unfold_based_cost_volume(MatchingFunction.CENSUS, L, R, 3, 3, 32)
+    st = MATCH_TRAITS[MatchingFunction.CENSUS].strategy
+    idx, tcv = sgm_wta_truncated(cv, 1.0, 4.0, n_directions=8, strategy=st,
+                                 h_radius=3, v_radius=3)
+    disp = np.asarray(refine_disp_cost_interpolation(
+        InterpolationKernel.PARABOLA, tcv, idx), np.float32)
+    assert prop_good(disp, gt, 2.0) > 0.89
+
+
+@pytest.mark.parametrize("func,bar", [(MatchingFunction.NCC, 0.93),
+                                      (MatchingFunction.ZSSD, 0.93),
+                                      (MatchingFunction.SAD, 0.50)])
+def test_occ_wta_per_function(pair_occ, func, bar):
+    """NCC/ZSSD normalize out the exposure asymmetry; SAD does not
+    (absolute differences are not illumination-invariant — its measured
+    0.56 on this pair documents that, matching the reference's behavior
+    class, not a defect)."""
+    L, R, gt, occ = pair_occ
+    cv = unfold_based_cost_volume(func, L, R, 2, 2, 32)
+    idx = extract_selected_index(cv, MATCH_TRAITS[func].strategy)
+    disp = np.asarray(selected_index_to_disp(idx), np.float32)
+    pg = prop_good(disp, gt, 2.0)
+    assert pg > bar, (func, pg)
+
+
+def test_occ_hierarchical(pair_occ):
+    from libstevi_tpu.ops.hierarchical import (
+        hierarchical_truncated_cost_volume)
+    L, R, gt, occ = pair_occ
+    out = hierarchical_truncated_cost_volume(
+        MatchingFunction.ZNCC, L, R, 2, 2, disp_width=32, depth=2)
+    assert prop_good(np.asarray(out.disp_estimate, np.float32),
+                     gt, 2.0) > 0.90
+
+
+def test_occ_patchmatch(pair_occ):
+    from libstevi_tpu.core.search import SearchOffset1
+    from libstevi_tpu.ops.patchmatch import patch_match
+    L, R, gt, occ = pair_occ
+    disp = np.asarray(patch_match(
+        MatchingFunction.NCC, L, R, SearchOffset1(0, 31), h_radius=3,
+        v_radius=3, n_iter=5), np.float32)
+    assert prop_good(disp, gt, 2.0) > 0.93
+
+
+def test_occ_covering_and_lr_consistency(pair_occ):
+    """Left/right covering (`statistics/stereo_covering.h:31,88`) on a
+    pair with REAL occlusions, and the LR cross-check must flag occluded
+    pixels far more often than visible ones (the occlusion-detection
+    workflow of the reference's covering statistic)."""
+    from libstevi_tpu.statistics import compute_covering_proportion
+    from libstevi_tpu.core import DispDirection
+    L, R, gt, occ = pair_occ
+    st = MATCH_TRAITS[MatchingFunction.ZNCC].strategy
+    cv = unfold_based_cost_volume(MatchingFunction.ZNCC, L, R, 2, 2, 32)
+    idx_r, _ = sgm_wta_truncated(cv, 0.1, 0.5, n_directions=8, strategy=st,
+                                 h_radius=2, v_radius=2)
+    cv2 = unfold_based_cost_volume(MatchingFunction.ZNCC, L, R, 2, 2, 32,
+                                   direction=DispDirection.LEFT_TO_RIGHT)
+    idx_l, _ = sgm_wta_truncated(cv2, 0.1, 0.5, n_directions=8, strategy=st,
+                                 h_radius=2, v_radius=2)
+    disp_r = np.asarray(idx_r, np.float32)
+    disp_l = np.asarray(idx_l, np.float32)
+    prop = float(compute_covering_proportion(jnp.asarray(disp_l),
+                                             jnp.asarray(disp_r)))
+    assert prop > 0.72, prop
+    # LR consistency: right pixel j matches left pixel j + d_r; a
+    # consistent pair has d_l(j + d_r) ~ d_r.  Occluded pixels violate.
+    H, W = disp_r.shape
+    jj = np.arange(W)[None, :]
+    tgt = np.clip(np.round(jj + disp_r).astype(int), 0, W - 1)
+    dl = np.take_along_axis(disp_l, tgt, axis=1)
+    incons = np.abs(dl - disp_r) > 2.0
+    interior = np.zeros((H, W), bool)
+    interior[4:-4, 4:-4] = True
+    rate_occ = incons[occ & interior].mean()
+    rate_vis = incons[~occ & interior].mean()
+    assert rate_occ > 3 * rate_vis, (rate_occ, rate_vis)
+
+
 def test_covering_statistic_on_pair(pair):
     """Left/right covering proportions (`statistics/stereo_covering.h:
     31,88`) on matched L/R disparities of the fixture: an un-occluded
