@@ -4,10 +4,12 @@ Reference parity: `graphs/graph_flow.h:48` (`maxFlowMinCut`: augmenting-path
 max-flow returning the flow value and the cut edge set) and
 `graphs/graph_cut.h:33` (`reachableVerticesInCut`).
 
-Design: generic graphs run scipy's preflow-push (`maximum_flow`, exact for
-integer capacities; float capacities are scaled and rounded — documented).
-This is host-side control flow by design; the dense grid-graph consumer
-(foreground segmentation) has a TPU path in
+Design: the default backend is a native (C++) Boykov-Kolmogorov solver on
+FLOAT capacities (`native/maxflow.cpp`) — exact double-precision residual
+arithmetic, like the reference, with no quantization.  ``backend="scipy"``
+keeps the previous route (scipy preflow-push, int32 capacities via
+scaling/rounding) as a cross-check.  Host-side control flow by design; the
+dense grid-graph consumer (foreground segmentation) has a TPU path in
 `imageproc.foreground_segmentation`.
 """
 
@@ -26,11 +28,16 @@ class MaxFlowResult:
 
 
 def max_flow_min_cut(n_vertices: int, edges, capacities, source: int,
-                     sink: int, scale: float = 1e6) -> MaxFlowResult:
+                     sink: int, scale: float = 1e6,
+                     backend: str = "native") -> MaxFlowResult:
     """edges: (E, 2) int array; capacities: (E,) float.  Directed edges.
 
     Returns the max-flow value, the source-side vertex mask of the min cut,
-    and the saturated crossing edges."""
+    and the saturated crossing edges.  ``backend="native"`` (default) runs
+    the float-capacity Boykov-Kolmogorov solver; ``"scipy"`` the integer
+    preflow-push cross-check (capacities scaled/rounded to int32)."""
+    if backend == "native":
+        return _max_flow_native(n_vertices, edges, capacities, source, sink)
     from scipy.sparse import csr_matrix
     from scipy.sparse.csgraph import maximum_flow
 
@@ -70,3 +77,29 @@ def max_flow_min_cut(n_vertices: int, edges, capacities, source: int,
 def reachable_vertices_in_cut(result: MaxFlowResult) -> np.ndarray:
     """Source-side vertices of the min cut (`graph_cut.h:33`)."""
     return result.source_side
+
+
+def _max_flow_native(n_vertices: int, edges, capacities, source: int,
+                     sink: int) -> MaxFlowResult:
+    import ctypes
+
+    from ..native import maxflow_library
+
+    edges = np.ascontiguousarray(np.asarray(edges, np.int64).reshape(-1, 2))
+    caps = np.ascontiguousarray(np.asarray(capacities, np.float64))
+    side = np.zeros(n_vertices, np.uint8)
+    lib = maxflow_library()
+    flow = lib.bk_maxflow(
+        n_vertices, len(edges),
+        edges.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        caps.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        int(source), int(sink),
+        side.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)))
+    reachable = side.astype(bool)
+    if len(edges):
+        m = reachable[edges[:, 0]] & ~reachable[edges[:, 1]]
+        cut = [(int(u), int(v)) for u, v in edges[m]]
+    else:
+        cut = []
+    return MaxFlowResult(max_flow=float(flow), source_side=reachable,
+                         cut_edges=cut)

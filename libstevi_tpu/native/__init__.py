@@ -141,3 +141,24 @@ def lzf_compress(data: bytes) -> bytes:
     if n < 0:
         raise IOError("LZF compression overflow")
     return out.raw[:n]
+
+
+_maxflow_lib = None
+
+
+def maxflow_library() -> ctypes.CDLL:
+    """The Boykov-Kolmogorov float-capacity max-flow library
+    (`maxflow.cpp`, compiled on first use)."""
+    global _maxflow_lib
+    if _maxflow_lib is None:
+        lib = ctypes.CDLL(_build("maxflow"))
+        lib.bk_maxflow.restype = ctypes.c_double
+        lib.bk_maxflow.argtypes = [
+            ctypes.c_int64, ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_double),
+            ctypes.c_int64, ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_uint8),
+        ]
+        _maxflow_lib = lib
+    return _maxflow_lib

@@ -331,11 +331,18 @@ def _cost_mode_pass(cv: jnp.ndarray, ii, jj, active, P1: float, P2: float,
 # ---------------------------------------------------------------------------
 
 def _pallas_adj(region, ml, P1, P2, Pout, W, n_directions):
-    """All principal-direction contributions via the Pallas kernels: the
-    fused full-width passes (`sgm_fused_adj`; the large-shape mode drops
-    the aliased accumulation), and beyond their VMEM reach the W-chunked
-    passes with edge-history relay (`sgm_chunked_adj`, e.g. HD D=320)."""
+    """All principal-direction contributions via the Pallas kernels, by
+    preference order: the DHW (disparity-on-sublanes) fused passes —
+    2.2x the HWD per-op rate, and since round 4 they reach HD D=320 by
+    splitting the accumulate stream — then the old full-width HWD passes
+    (`sgm_fused_adj`), then the W-chunked HWD passes with edge-history
+    relay (`sgm_chunked_adj`) as the last resort."""
     from .sgm_pallas import sgm_fused_adj, sgm_chunked_adj
+    from .sgm_pallas_dhw import sgm_fused_adj_dhw
+    a = sgm_fused_adj_dhw(jnp.moveaxis(region, -1, 1), ml, W, P1, P2,
+                          Pout, n_directions)
+    if a is not None:
+        return jnp.moveaxis(a, 1, -1)
     adj = sgm_fused_adj(region, ml, W, P1, P2, Pout, n_directions)
     if adj is None:
         adj = sgm_chunked_adj(region, ml, W, P1, P2, Pout, n_directions)

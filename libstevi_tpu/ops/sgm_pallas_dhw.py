@@ -339,7 +339,15 @@ def _dhw_wta_kernel(*refs, RC, Dp, Xp, N1, X1, D, ml, W_pout, P1, P2,
     restores the remaining direction multiplicity in one f32 op:
     C += pa * (n_dirs - 1 + corner_doubling).  ``bake_corners`` adds the
     four double-covered diagonal corner-line indicators
-    (`sgm.h:329-355`) — only the 8-direction set has them."""
+    (`sgm.h:329-355`) — only the 8-direction set has them.
+
+    The grid is (lane chunks, scan chunks): the horizontal DP carries
+    are LANE-LOCAL (vertical/diagonal interactions live in the other
+    passes), so big geometries split the lane extent into 128-multiple
+    chunks, resetting the carry at each chunk's first scan step — this
+    is what lets the fused WTA run at HD D=320 within scoped VMEM.
+    Knight carries DO lane-shift, so lane chunking is gated off with 16
+    directions."""
     n_scr = 1 + (4 if knight else 0)
     rest = list(refs)
     cv_ref = rest.pop(0)
@@ -349,21 +357,23 @@ def _dhw_wta_kernel(*refs, RC, Dp, Xp, N1, X1, D, ml, W_pout, P1, P2,
     scr = rest[-n_scr:]
     carry_ref = scr[0]
     k_refs = scr[1:]
-    h = pl.program_id(0)
-    n = pl.num_programs(0)
+    h = pl.program_id(1)                # scan chunk (innermost)
+    n = pl.num_programs(1)
+    l0 = pl.program_id(0) * Xp          # lane-chunk global offset
 
     dt = cv_ref.dtype
 
     @pl.when(h == 0)
     def _():
+        # each lane chunk's scan starts fresh (lane-local carries)
         carry_ref[:] = jnp.zeros((Dp, Xp), dt)
         for kc in k_refs:
             kc[:] = jnp.zeros((Dp, Xp), dt)
 
     dd = jax.lax.broadcasted_iota(jnp.int32, (Dp, Xp), 0)
     dd_col = jax.lax.broadcasted_iota(jnp.int32, (Dp, 1), 0)
-    lanes = jax.lax.broadcasted_iota(jnp.int32, (Dp, Xp), 1)
-    li = jax.lax.broadcasted_iota(jnp.int32, (1, Xp), 1)  # image row
+    lanes = jax.lax.broadcasted_iota(jnp.int32, (Dp, Xp), 1) + l0
+    li = jax.lax.broadcasted_iota(jnp.int32, (1, Xp), 1) + l0  # image row
     zcol = jnp.zeros((Dp, 1), dt)
     b = n - 1 - h
     carry = carry_ref[:]
@@ -580,7 +590,8 @@ def sgm_fused_wta_from_native(cv_nat, cv_T_nat, H1: int, W1: int, D: int,
                               wta_radius: int,
                               vmem_budget: int = 12 * 1024 * 1024,
                               interpret: bool | None = None,
-                              pout_baked: bool = False):
+                              pout_baked: bool = False,
+                              force_wta_nl: int | None = None):
     """SGM + WTA from cost volumes PRE-BUILT in both kernel-native
     layouts: ``cv_nat`` (Dp, Hp, Wp) d-outer row-major and ``cv_T_nat``
     (Dp, Wp, Hl) d-outer column-major (see
@@ -596,12 +607,12 @@ def sgm_fused_wta_from_native(cv_nat, cv_T_nat, H1: int, W1: int, D: int,
                     vmem_budget, interpret, wta_radius,
                     knight=n_directions >= 16,
                     native=(cv_nat, cv_T_nat, H1, W1, D),
-                    pout_baked=pout_baked)
+                    pout_baked=pout_baked, force_wta_nl=force_wta_nl)
 
 
 def _run_dhw(region, ml, W_pout, P1, P2, Pout, diag, vmem_budget,
              interpret, wta_radius, knight=False, native=None,
-             pout_baked=False):
+             pout_baked=False, force_wta_nl=None):
     if native is not None:
         cv_nat, cv_T_nat, H1, W1, D = native
         dt = cv_nat.dtype
@@ -623,8 +634,21 @@ def _run_dhw(region, ml, W_pout, P1, P2, Pout, diag, vmem_budget,
     nc = (3 if diag else 1) + nck
     rc_down = _pick_rc(Dp, Wp, nc, vmem_budget, n_streams=2, itemsize=isz)
     rc_up = _pick_rc(Dp, Wp, nc, vmem_budget, n_streams=3, itemsize=isz)
+    # big geometries (e.g. HD D=320): the 3-stream accumulate pass does
+    # not fit scoped VMEM at full width, but a 2-stream pass does — run
+    # up WITHOUT the accumulator stream and add the two adjustment
+    # volumes with a plain XLA add (costs one extra full-volume stream,
+    # far cheaper than falling back to the old W-chunked lane-layout
+    # kernels: 105 -> ~40 ms at 720p D=320 bf16)
+    split_up = rc_up is None and rc_down is not None
+    if split_up:
+        rc_up = rc_down
     rc_fwd = _pick_rc(Dp, Hp_lanes, 1 + nck, vmem_budget, n_streams=3,
                       itemsize=isz)
+    split_fwd = rc_fwd is None
+    if split_fwd:
+        rc_fwd = _pick_rc(Dp, Hp_lanes, 1 + nck, vmem_budget, n_streams=2,
+                          itemsize=isz)
     if knight:
         # drift parity must be concrete at trace time -> even row chunks
         rc_down = None if rc_down == 1 else rc_down
@@ -632,12 +656,36 @@ def _run_dhw(region, ml, W_pout, P1, P2, Pout, diag, vmem_budget,
         rc_fwd = None if rc_fwd == 1 else rc_fwd
     # The WTA maps are 2-D outputs whose block sublane dim must be a
     # multiple of 8, so the WTA pass row chunk is fixed at 8 (2 input
-    # streams + small map outputs).
+    # streams + small map outputs).  Its row expression runs in f32
+    # (~8 live (Dp, Lc) tiles measured: HD D=320 bf16 hit 25.26 MB
+    # against the 16 MB scoped limit), so the stack term scales with
+    # the f32 tile size.  When the full lane extent does not fit, the
+    # lane axis splits into 128-multiple chunks — the horizontal DP
+    # carries are lane-local, so chunking is exact (not with knight
+    # carries, which lane-shift).
     rc_t = 8
-    u_t = Dp * Hp_lanes * isz
-    if (None in (rc_down, rc_up, rc_fwd)
-            or (1 + nck) * u_t + 4 * rc_t * u_t > vmem_budget + 4 * 2 ** 20):
+    if None in (rc_down, rc_up, rc_fwd):
         return None
+    wta_nl, wta_lc = 1, Hp_lanes
+    if force_wta_nl is not None and wta_radius is not None:
+        # test / tuning hook: force the lane-chunk count
+        wta_nl = force_wta_nl
+        wta_lc = Hp_lanes if wta_nl == 1 \
+            else _round_up(-(-Hp_lanes // wta_nl), 128)
+    elif wta_radius is not None:
+        def wta_est(lc):
+            return ((1 + nck) * Dp * lc * isz + 4 * rc_t * Dp * lc * isz
+                    + 8 * Dp * lc * 4)
+        found = False
+        for nl_c in (1, 2, 3, 4, 6, 8, 12, 16):
+            lc_c = Hp_lanes if nl_c == 1                 else _round_up(-(-Hp_lanes // nl_c), 128)
+            if wta_est(lc_c) <= vmem_budget + 4 * 2 ** 20:
+                wta_nl, wta_lc, found = nl_c, lc_c, True
+                break
+            if knight:
+                break              # lane chunking breaks knight carries
+        if not found:
+            return None
     Hp = _round_up(H1, 8)
     Wp_rows = Wp                         # lane pad of the normal passes
                                          # doubles as T-side scan-row pad
@@ -663,9 +711,15 @@ def _run_dhw(region, ml, W_pout, P1, P2, Pout, diag, vmem_budget,
     adj = _rows_call(cv_rows, None, RC=rc_down, N1=H1, X1=W1, reverse=False,
                      diag=diag, transposed=False, H_corner=H1,
                      corner_stream=True, **kw)
-    adj = _rows_call(cv_rows, adj, RC=rc_up, N1=H1, X1=W1, reverse=True,
-                     diag=diag, transposed=False, H_corner=H1,
-                     corner_stream=True, **kw)
+    if split_up:
+        adj_up = _rows_call(cv_rows, None, RC=rc_up, N1=H1, X1=W1,
+                            reverse=True, diag=diag, transposed=False,
+                            H_corner=H1, corner_stream=True, **kw)
+        adj = adj + adj_up
+    else:
+        adj = _rows_call(cv_rows, adj, RC=rc_up, N1=H1, X1=W1, reverse=True,
+                         diag=diag, transposed=False, H_corner=H1,
+                         corner_stream=True, **kw)
 
     # transpose to (W, D, H) for the horizontal passes: Hp_lanes == Hp,
     # so this is a pure relayout with no pad
@@ -676,26 +730,45 @@ def _run_dhw(region, ml, W_pout, P1, P2, Pout, diag, vmem_budget,
         cv_cols = to_T(cv_p)            # keeps +inf d-pad, zero lane pad
     adj_T = to_T(adj)                   # the ONE full-volume relayout
 
-    adj_T = _rows_call(cv_cols, adj_T, RC=rc_fwd, N1=W1, X1=H1,
-                       reverse=False, diag=False, transposed=True,
-                       H_corner=H1, **kw)
+    if split_fwd:
+        adj_fT = _rows_call(cv_cols, None, RC=rc_fwd, N1=W1, X1=H1,
+                            reverse=False, diag=False, transposed=True,
+                            H_corner=H1, **kw)
+        adj_T = adj_T + adj_fT
+    else:
+        adj_T = _rows_call(cv_cols, adj_T, RC=rc_fwd, N1=W1, X1=H1,
+                           reverse=False, diag=False, transposed=True,
+                           H_corner=H1, **kw)
 
     if wta_radius is None:
-        adj_T = _rows_call(cv_cols, adj_T, RC=rc_fwd, N1=W1, X1=H1,
-                           reverse=True, diag=False, transposed=True,
-                           H_corner=H1, **kw)
+        if split_fwd:
+            adj_rT = _rows_call(cv_cols, None, RC=rc_fwd, N1=W1, X1=H1,
+                                reverse=True, diag=False, transposed=True,
+                                H_corner=H1, **kw)
+            adj_T = adj_T + adj_rT
+        else:
+            adj_T = _rows_call(cv_cols, adj_T, RC=rc_fwd, N1=W1, X1=H1,
+                               reverse=True, diag=False, transposed=True,
+                               H_corner=H1, **kw)
         return jnp.transpose(adj_T[:W1, :D, :H1], (2, 1, 0))
 
     r = wta_radius
     n_chunks = Wp_rows // rc_t
-    spec = pl.BlockSpec((rc_t, Dp, Hp_lanes),
-                        lambda h: (n_chunks - 1 - h, 0, 0),
+    nl, Lc = wta_nl, wta_lc
+    Hl_pad = nl * Lc
+    if Hl_pad != Hp_lanes:
+        # the pads fuse into the to_T/transpose producer copies
+        cv_cols = jnp.pad(cv_cols, ((0, 0), (0, 0),
+                                    (0, Hl_pad - Hp_lanes)))
+        adj_T = jnp.pad(adj_T, ((0, 0), (0, 0), (0, Hl_pad - Hp_lanes)))
+    spec = pl.BlockSpec((rc_t, Dp, Lc),
+                        lambda lc, h: (n_chunks - 1 - h, 0, lc),
                         memory_space=pltpu.VMEM)
-    map_spec = pl.BlockSpec((rc_t, Hp_lanes),
-                            lambda h: (n_chunks - 1 - h, 0),
+    map_spec = pl.BlockSpec((rc_t, Lc),
+                            lambda lc, h: (n_chunks - 1 - h, lc),
                             memory_space=pltpu.VMEM)
     kernel = functools.partial(
-        _dhw_wta_kernel, RC=rc_t, Dp=Dp, Xp=Hp_lanes, N1=W1, X1=H1, D=D,
+        _dhw_wta_kernel, RC=rc_t, Dp=Dp, Xp=Lc, N1=W1, X1=H1, D=D,
         ml=ml, W_pout=W_pout, P1=float(P1), P2=float(P2), Pout=float(Pout),
         r=r, knight=knight, knight_stream=knight,
         bake_mult=((8 if diag else 4) - 1) if pout_baked else None,
@@ -703,19 +776,19 @@ def _run_dhw(region, ml, W_pout, P1, P2, Pout, diag, vmem_budget,
     in_specs = [spec, spec]
     args = (cv_cols, adj_T)
     if knight:
-        kw_spec = pl.BlockSpec((rc_t, 4, Hp_lanes),
-                               lambda h: (n_chunks - 1 - h, 0, 0),
+        kw_spec = pl.BlockSpec((rc_t, 4, Lc),
+                               lambda lc, h: (n_chunks - 1 - h, 0, lc),
                                memory_space=pltpu.VMEM)
         in_specs.append(kw_spec)
-        args = args + (_knight_weights(Wp_rows, Hp_lanes, H1, W1, True,
+        args = args + (_knight_weights(Wp_rows, Hl_pad, H1, W1, True,
                                        cv_cols.dtype),)
     outs = pl.pallas_call(
-        kernel, grid=(n_chunks,), in_specs=in_specs,
+        kernel, grid=(nl, n_chunks), in_specs=in_specs,
         out_specs=[map_spec] * (2 + 2 * r),
-        out_shape=([jax.ShapeDtypeStruct((Wp_rows, Hp_lanes), jnp.int32)]
-                   + [jax.ShapeDtypeStruct((Wp_rows, Hp_lanes), jnp.float32)]
+        out_shape=([jax.ShapeDtypeStruct((Wp_rows, Hl_pad), jnp.int32)]
+                   + [jax.ShapeDtypeStruct((Wp_rows, Hl_pad), jnp.float32)]
                    * (2 * r + 1)),
-        scratch_shapes=[pltpu.VMEM((Dp, Hp_lanes), cv_cols.dtype)]
+        scratch_shapes=[pltpu.VMEM((Dp, Lc), cv_cols.dtype)]
         * (5 if knight else 1),
         interpret=interpret)(*args)
     idx = outs[0][:W1, :H1].T

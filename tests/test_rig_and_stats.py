@@ -115,6 +115,48 @@ class TestMaxFlow:
         assert res.max_flow == pytest.approx(1.0)
         assert res.cut_edges == [(1, 2)]
 
+    def test_native_matches_scipy_bit_for_bit_on_integer_graphs(self):
+        """The native float-capacity Boykov-Kolmogorov solver
+        (`native/maxflow.cpp`, default backend) must agree EXACTLY with
+        the scipy integer preflow-push cross-check wherever the int
+        scaling is lossless, and both cuts must be optimal
+        (cut capacity == flow)."""
+        rng = np.random.default_rng(0)
+        for trial in range(60):
+            n = int(rng.integers(4, 25))
+            m = int(rng.integers(3, 100))
+            edges = rng.integers(0, n, (m, 2))
+            edges = edges[edges[:, 0] != edges[:, 1]]
+            caps = rng.integers(0, 20, len(edges)).astype(np.float64)
+            a = max_flow_min_cut(n, edges, caps, 0, n - 1,
+                                 backend="native")
+            b = max_flow_min_cut(n, edges, caps, 0, n - 1,
+                                 backend="scipy")
+            assert a.max_flow == b.max_flow, trial
+            for res in (a, b):
+                cut = sum(caps[i] for i, (u, v)
+                          in enumerate(map(tuple, edges))
+                          if res.source_side[u]
+                          and not res.source_side[v])
+                assert cut == pytest.approx(res.max_flow, abs=1e-9)
+
+    def test_native_float_capacities_no_quantization(self):
+        """Float capacities run unscaled (`graph_flow.h:48` semantics):
+        the returned flow equals the min-cut capacity summed in full
+        double precision — impossible after int32 rounding."""
+        rng = np.random.default_rng(1)
+        for trial in range(30):
+            n = int(rng.integers(4, 20))
+            m = int(rng.integers(3, 80))
+            edges = rng.integers(0, n, (m, 2))
+            edges = edges[edges[:, 0] != edges[:, 1]]
+            caps = rng.uniform(0, 1, len(edges)) * np.pi
+            res = max_flow_min_cut(n, edges, caps, 0, n - 1,
+                                   backend="native")
+            cut = sum(caps[i] for i, (u, v) in enumerate(map(tuple, edges))
+                      if res.source_side[u] and not res.source_side[v])
+            assert cut == pytest.approx(res.max_flow, rel=1e-12, abs=1e-12)
+
 
 class TestDCEL:
     """Planar-subdivision DCEL (`graphs/doublyConnectedEdgeLists.h`):

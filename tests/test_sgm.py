@@ -257,3 +257,43 @@ def test_sgm_wta_truncated_bf16_close_to_f32(rng):
     # values accumulate ~8 direction adjustments of O(1) terms: allow a
     # few ulps of bf16 (~0.03 absolute at these magnitudes)
     np.testing.assert_allclose(b16[ok], b32[ok], atol=0.1, rtol=0.02)
+
+
+def test_native_pipeline_splits_and_lane_chunks_exactly():
+    """Big-geometry survival modes must be BIT-exact vs the full-width
+    path: (a) the accumulate-stream split (up/fwd run 2-stream and the
+    adjustment volumes add via XLA — how HD D=320 fits scoped VMEM) and
+    (b) the lane-chunked WTA pass (horizontal carries are lane-local,
+    so chunking the lane axis is exact)."""
+    from libstevi_tpu.core import MatchingFunction
+    from libstevi_tpu.ops.box_pallas import box_cost_volume_fused_padded
+    from libstevi_tpu.ops import sgm_pallas_dhw as dhw
+
+    h, w, d = 150, 200, 17
+    rng = np.random.default_rng(3)
+    img_l = jnp.asarray(rng.uniform(0, 1, (h, w)).astype(np.float32))
+    img_r = jnp.asarray(rng.uniform(0, 1, (h, w)).astype(np.float32))
+    for dt, sub in ((jnp.float32, 8), (jnp.bfloat16, 16)):
+        dp = -(-d // sub) * sub
+        a = box_cost_volume_fused_padded(
+            MatchingFunction.ZNCC, img_l, img_r, 3, 3, d, dp, dt,
+            negate=True, pout_bake=100.0, interpret=True)
+        b = jnp.transpose(a, (2, 1, 0))
+        full = dhw.sgm_fused_wta_from_native(
+            a, b, h, w, d, 0, w, 0.1, 0.5, 100.0, 8, wta_radius=1,
+            interpret=True, pout_baked=True)
+        chunked = dhw.sgm_fused_wta_from_native(
+            a, b, h, w, d, 0, w, 0.1, 0.5, 100.0, 8, wta_radius=1,
+            interpret=True, pout_baked=True, force_wta_nl=2)
+        # a tiny budget exercises rc_up=None -> split_up / split_fwd
+        split = dhw.sgm_fused_wta_from_native(
+            a, b, h, w, d, 0, w, 0.1, 0.5, 100.0, 8, wta_radius=1,
+            interpret=True, pout_baked=True,
+            vmem_budget=5 * 1024 * 1024)
+        for other in (chunked, split):
+            assert other is not None
+            np.testing.assert_array_equal(np.asarray(full[0]),
+                                          np.asarray(other[0]))
+            np.testing.assert_array_equal(
+                np.asarray(full[1], np.float32),
+                np.asarray(other[1], np.float32))
