@@ -9,6 +9,12 @@ single-channel colormap).
 
   python cli/stevimg_viewer.py data.stevimg [-o view.png]
       [--colormap viridis|gray|jet] [--black B] [--white W]
+      [--interactive]
+
+``--interactive`` opens the pan/zoom/level-window viewer
+(`libstevi_tpu.gui.InteractiveViewer` — the Qt-free counterpart of the
+reference's qImageDisplayWidget interaction: wheel zoom, left-drag pan,
+right-drag level windowing, 'r' reset / 'c' colormap cycle).
 """
 
 from __future__ import annotations
@@ -32,6 +38,8 @@ def main(argv=None):
     ap.add_argument("--white", type=float, default=None)
     ap.add_argument("--channel", type=int, default=None,
                     help="view one channel of a multichannel image")
+    ap.add_argument("--interactive", action="store_true",
+                    help="open the pan/zoom/level-window viewer")
     args = ap.parse_args(argv)
 
     from libstevi_tpu.io import read_image, write_image
@@ -60,6 +68,14 @@ def main(argv=None):
             adapter = ArrayDisplayAdapter(view, black_level=args.black,
                                           white_level=args.white)
         write_image(args.output, adapter.to_rgb())
+
+    if args.interactive:
+        from libstevi_tpu.gui import view as gui_view
+        v = img
+        if args.channel is not None and v.ndim == 3:
+            v = v[..., args.channel]
+        gui_view(v, colormap=args.colormap, black_level=args.black,
+                 white_level=args.white, title=args.image)
     return 0
 
 

@@ -8,8 +8,7 @@ measured and subtracted per variant.
 
 Run one variant per invocation (remote compiles are slow/flaky):
     python -u scripts/exp_transpose.py <variant>
-Variants: xla, moveaxis, pallas_128_8_128, pallas_256_8_256,
-pallas_128_32_128, pallas_512_8_640, pallas2 (both volumes in one call).
+Variants: every key of VARIANTS (no argument runs them all).
 """
 import os
 import sys
