@@ -489,13 +489,21 @@ def dense_sgm_stereo(func, img_l: jnp.ndarray, img_r: jnp.ndarray,
             # sublane shifts make the transposed builder ~1 ms vs ~0.4 ms
             # for XLA's tile transpose; see docs/PERF.md round-4 notes)
             cv_T = jnp.transpose(cv_nat, (2, 1, 0))
+            from .refinement import InterpolationKernel
+            fuse_refine = (refine_kernel is InterpolationKernel.PARABOLA
+                           and r >= 1)
             res = sgm_fused_wta_from_native(
                 cv_nat, cv_T, H, W, D, 0, W, float(P1), float(P2),
                 float(Pout), n_directions, wta_radius=r, interpret=False,
-                pout_baked=bake)
+                pout_baked=bake,
+                refine=(h_radius, v_radius) if fuse_refine else None)
             if res is not None:
                 idx, tcv = _tcv_from_bands(res[0], res[1], H, W, D,
                                            h_radius, v_radius, r)
+                if fuse_refine:
+                    # subpixel computed in-kernel (tiny band-row ops);
+                    # idx/tcv stay available and are DCE'd when unused
+                    return res[2], idx, tcv
 
     if idx is None:
         from .cost_volume import unfold_based_cost_volume

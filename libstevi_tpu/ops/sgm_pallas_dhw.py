@@ -325,7 +325,7 @@ def _dhw_rows_kernel(*refs, RC, Dp, Xp, Np, N1, X1, ml, W_pout, P1, P2,
 
 def _dhw_wta_kernel(*refs, RC, Dp, Xp, N1, X1, D, ml, W_pout, P1, P2,
                     Pout, r, knight=False, knight_stream=False,
-                    bake_mult=None, bake_corners=False):
+                    bake_mult=None, bake_corners=False, refine=None):
     """The reverse-horizontal pass over the transposed (W, Dp, H) volume,
     fused with tie-last WTA + truncated-band extraction: per image
     column j (scan row) emits the argmin index over d of the complete
@@ -353,7 +353,10 @@ def _dhw_wta_kernel(*refs, RC, Dp, Xp, N1, X1, D, ml, W_pout, P1, P2,
     cv_ref = rest.pop(0)
     acc_ref = rest.pop(0)
     kw_ref = rest.pop(0) if knight_stream else None
-    idx_ref, *band_refs = rest[:1 + 2 * r + 1]
+    n_maps = 1 + 2 * r + 1 + (1 if refine is not None else 0)
+    idx_ref, *band_refs = rest[:n_maps]
+    if refine is not None:
+        disp_ref = band_refs.pop()
     scr = rest[-n_scr:]
     carry_ref = scr[0]
     k_refs = scr[1:]
@@ -425,9 +428,11 @@ def _dhw_wta_kernel(*refs, RC, Dp, Xp, N1, X1, D, ml, W_pout, P1, P2,
         m = jnp.min(C, axis=0, keepdims=True)
         idx = jnp.max(jnp.where(C == m, dd, -1), axis=0)
         idx_ref[rr] = idx
+        band_vals = []
         for k in range(2 * r + 1):
             if k == r:
-                band_refs[k][rr] = m[0]          # C[idx] IS the min
+                band_vals.append(m)              # C[idx] IS the min
+                band_refs[k][rr] = m[0]
                 continue
             # C shifted so sublane idx holds C[idx + (k - r)]
             if k < r:
@@ -437,8 +442,34 @@ def _dhw_wta_kernel(*refs, RC, Dp, Xp, N1, X1, D, ml, W_pout, P1, P2,
                 pad = jnp.full((k - r, Xp), _INF, jnp.float32)
                 sh = jnp.concatenate([C[k - r:], pad], axis=0)
             # one-hot select-and-reduce (exact: a single non-zero term)
-            band_refs[k][rr] = jnp.sum(
-                jnp.where(dd == idx[None, :], sh, 0.0), axis=0)
+            band = jnp.sum(jnp.where(dd == idx[None, :], sh, 0.0),
+                           axis=0, keepdims=True)
+            band_vals.append(band)
+            band_refs[k][rr] = band[0]
+        if refine is not None:
+            # parabola subpixel fused in-kernel: tiny (1, Xp) ops on the
+            # bands already in registers, replacing the post-pipeline
+            # slot/refine op tail.  Slot validity replicates
+            # `truncated_cost_volume`'s SAME-mode NaN rules
+            # (`correlation_base.h:582-674`) so delta — and hence the
+            # refined disparity — is NaN exactly where the composed
+            # chain produces NaN.
+            h_rad, v_rad = refine
+            idx2 = idx[None, :]
+            li_row = jax.lax.broadcasted_iota(jnp.int32, (1, Xp), 1) \
+                + pl.program_id(0) * Xp
+
+            def slot(k):
+                p = idx2 + (k - r)
+                valid = ((p >= 0) & (p < D) & (j >= h_rad)
+                         & (j + p + h_rad < N1) & (li_row >= v_rad)
+                         & (li_row + v_rad < X1))
+                return jnp.where(valid, band_vals[k],
+                                 jnp.float32(jnp.nan))
+
+            cm1, c0, c1 = slot(r - 1), slot(r), slot(r + 1)
+            delta = (cm1 - c1) / (2.0 * (c1 - 2.0 * c0 + cm1))
+            disp_ref[rr] = (idx2.astype(jnp.float32) + delta)[0]
     carry_ref[:] = carry
     for kc, c in zip(k_refs, c_k):
         kc[:] = c
@@ -591,7 +622,8 @@ def sgm_fused_wta_from_native(cv_nat, cv_T_nat, H1: int, W1: int, D: int,
                               vmem_budget: int = 12 * 1024 * 1024,
                               interpret: bool | None = None,
                               pout_baked: bool = False,
-                              force_wta_nl: int | None = None):
+                              force_wta_nl: int | None = None,
+                              refine: tuple | None = None):
     """SGM + WTA from cost volumes PRE-BUILT in both kernel-native
     layouts: ``cv_nat`` (Dp, Hp, Wp) d-outer row-major and ``cv_T_nat``
     (Dp, Wp, Hl) d-outer column-major (see
@@ -607,12 +639,13 @@ def sgm_fused_wta_from_native(cv_nat, cv_T_nat, H1: int, W1: int, D: int,
                     vmem_budget, interpret, wta_radius,
                     knight=n_directions >= 16,
                     native=(cv_nat, cv_T_nat, H1, W1, D),
-                    pout_baked=pout_baked, force_wta_nl=force_wta_nl)
+                    pout_baked=pout_baked, force_wta_nl=force_wta_nl,
+                    refine=refine)
 
 
 def _run_dhw(region, ml, W_pout, P1, P2, Pout, diag, vmem_budget,
              interpret, wta_radius, knight=False, native=None,
-             pout_baked=False, force_wta_nl=None):
+             pout_baked=False, force_wta_nl=None, refine=None):
     if native is not None:
         cv_nat, cv_T_nat, H1, W1, D = native
         dt = cv_nat.dtype
@@ -772,7 +805,7 @@ def _run_dhw(region, ml, W_pout, P1, P2, Pout, diag, vmem_budget,
         ml=ml, W_pout=W_pout, P1=float(P1), P2=float(P2), Pout=float(Pout),
         r=r, knight=knight, knight_stream=knight,
         bake_mult=((8 if diag else 4) - 1) if pout_baked else None,
-        bake_corners=pout_baked and diag)
+        bake_corners=pout_baked and diag, refine=refine)
     in_specs = [spec, spec]
     args = (cv_cols, adj_T)
     if knight:
@@ -782,17 +815,21 @@ def _run_dhw(region, ml, W_pout, P1, P2, Pout, diag, vmem_budget,
         in_specs.append(kw_spec)
         args = args + (_knight_weights(Wp_rows, Hl_pad, H1, W1, True,
                                        cv_cols.dtype),)
+    n_maps = 2 + 2 * r + (1 if refine is not None else 0)
     outs = pl.pallas_call(
         kernel, grid=(nl, n_chunks), in_specs=in_specs,
-        out_specs=[map_spec] * (2 + 2 * r),
+        out_specs=[map_spec] * n_maps,
         out_shape=([jax.ShapeDtypeStruct((Wp_rows, Hl_pad), jnp.int32)]
                    + [jax.ShapeDtypeStruct((Wp_rows, Hl_pad), jnp.float32)]
-                   * (2 * r + 1)),
+                   * (n_maps - 1)),
         scratch_shapes=[pltpu.VMEM((Dp, Lc), cv_cols.dtype)]
         * (5 if knight else 1),
         interpret=interpret)(*args)
     idx = outs[0][:W1, :H1].T
-    bands = jnp.stack([b[:W1, :H1].T for b in outs[1:]], axis=-1)
+    bands = jnp.stack([b[:W1, :H1].T
+                       for b in outs[1:2 + 2 * r]], axis=-1)
+    if refine is not None:
+        return idx, bands, outs[-1][:W1, :H1].T
     return idx, bands
 
 

@@ -297,3 +297,37 @@ def test_native_pipeline_splits_and_lane_chunks_exactly():
             np.testing.assert_array_equal(
                 np.asarray(full[1], np.float32),
                 np.asarray(other[1], np.float32))
+
+
+def test_fused_subpixel_matches_composed_chain():
+    """The in-kernel parabola subpixel (WTA pass ``refine``) must be
+    bit-exact vs the composed _tcv_from_bands +
+    refine_disp_cost_interpolation chain, including the NaN pattern of
+    the SAME-mode truncated-cv validity rules."""
+    from libstevi_tpu.core import MatchingFunction
+    from libstevi_tpu.ops.box_pallas import box_cost_volume_fused_padded
+    from libstevi_tpu.ops import sgm_pallas_dhw as dhw
+    from libstevi_tpu.ops.sgm import _tcv_from_bands
+    from libstevi_tpu.ops.refinement import (refine_disp_cost_interpolation,
+                                             InterpolationKernel)
+
+    h, w, d = 96, 120, 21
+    rng = np.random.default_rng(5)
+    img_l = jnp.asarray(rng.uniform(0, 1, (h, w)).astype(np.float32))
+    img_r = jnp.asarray(rng.uniform(0, 1, (h, w)).astype(np.float32))
+    for dt, sub in ((jnp.float32, 8), (jnp.bfloat16, 16)):
+        dp = -(-d // sub) * sub
+        a = box_cost_volume_fused_padded(
+            MatchingFunction.ZNCC, img_l, img_r, 3, 3, d, dp, dt,
+            negate=True, pout_bake=100.0, interpret=True)
+        b = jnp.transpose(a, (2, 1, 0))
+        idx, bands, disp_k = dhw.sgm_fused_wta_from_native(
+            a, b, h, w, d, 0, w, 0.1, 0.5, 100.0, 8, wta_radius=1,
+            interpret=True, pout_baked=True, refine=(3, 3))
+        idx2, tcv = _tcv_from_bands(idx, bands, h, w, d, 3, 3, 1)
+        disp_x = refine_disp_cost_interpolation(
+            InterpolationKernel.PARABOLA, tcv, idx2)
+        dk, dx = np.asarray(disp_k), np.asarray(disp_x)
+        assert (np.isnan(dk) == np.isnan(dx)).all()
+        f = np.isfinite(dk)
+        np.testing.assert_array_equal(dk[f], dx[f])
