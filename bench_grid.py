@@ -69,14 +69,17 @@ def main():
         return fn
 
     def sgm_bf16_cfg(H, W, D):
+        # the production fast path (ops.dense_sgm_stereo): native-layout
+        # fused CV (banded at HD), Pout baking, fused WTA+subpixel
+        from libstevi_tpu.ops import dense_sgm_stereo, InterpolationKernel
+
         def fn(l, r):
-            cv = unfold_based_cost_volume(MatchingFunction.ZNCC, l, r, 3, 3,
-                                          D, backend="box", layout="dhw",
-                                          cv_dtype=jnp.bfloat16)
-            idx, _ = sgm_wta_truncated(cv, 0.1, 0.5, n_directions=8,
-                                       strategy=ExtractionStrategy.SCORE,
-                                       layout="dhw")
-            return idx
+            disp, _, _ = dense_sgm_stereo(
+                MatchingFunction.ZNCC, l, r, 3, 3, D, P1=0.1, P2=0.5,
+                n_directions=8,
+                refine_kernel=InterpolationKernel.PARABOLA,
+                cv_dtype=jnp.bfloat16)
+            return disp
         return fn
 
     # NOTE: dense HD D=320 in f32 materializes volume working sets beyond

@@ -82,27 +82,52 @@ def _window_sum_sublanes(x, radius):
             + _one_sided_tree(x, radius, sh_n))
 
 
-def _kernel(src_ref, tgtp_ref, stats_ref, out_ref, scr_ref, *, DC, Hb,
-            Wp, Wpp, h_radius, v_radius, n, kind, cv_dtype, W1,
-            negate=False, pad_d_inf=False, D=None, H1=None,
-            pout_bake=None):
+def _kernel(*refs, DC, Hb, Wp, Wpp, h_radius, v_radius, n, kind,
+            cv_dtype, W1, negate=False, pad_d_inf=False, D=None, H1=None,
+            pout_bake=None, banded=False):
     hb = pl.program_id(0)
     d_idx = pl.program_id(1)           # innermost: d chunks in order
     d0 = d_idx * DC
     Hx = Hb + 2 * _PADROWS
+    pr = _PADROWS
     r0 = hb * Hb                       # aligned band start in padded rows
 
-    # Mosaic supports dynamic SUBLANE slices but not dynamic LANE slices:
-    # the target stack rides in a scratch that is loaded at the band's
-    # first d-chunk and shifted left by a STATIC DC lanes per chunk, so
-    # every per-disparity slice below is static.
-    @pl.when(d_idx == 0)
-    def _():
-        scr_ref[...] = tgtp_ref[:, pl.ds(r0, Hx), :]
+    if banded:
+        # big-geometry mode: the image/stat planes do NOT fit VMEM
+        # whole, so each grid step streams the band plus its halo from
+        # THREE shifted block views of the same arrays (prev/mid/next;
+        # the arrays carry an extra full band of zero pad top and
+        # bottom, so the maps h, h+1, h+2 never leave the array)
+        (sp, sm, sn, tp_, tm, tn, stp, stm, stn, out_ref,
+         scr_ref) = refs
 
-    src = src_ref[pl.ds(r0, Hx), :]
-    sum_s = stats_ref[0, pl.ds(r0, Hx), :]
-    den_s = stats_ref[1, pl.ds(r0, Hx), :]   # sigma_s (Z*) or |s| (NCC)
+        def band(prev, mid, nxt):
+            return jnp.concatenate(
+                [prev[..., Hb - pr:, :], mid[...], nxt[..., :pr, :]],
+                axis=-2)
+
+        @pl.when(d_idx == 0)
+        def _():
+            scr_ref[...] = band(tp_, tm, tn)
+
+        src = band(sp, sm, sn)
+        stats = band(stp, stm, stn)
+        sum_s = stats[0]
+        den_s = stats[1]
+    else:
+        src_ref, tgtp_ref, stats_ref, out_ref, scr_ref = refs
+
+        # Mosaic supports dynamic SUBLANE slices but not dynamic LANE
+        # slices: the target stack rides in a scratch loaded at the
+        # band's first d-chunk and shifted left by a STATIC DC lanes
+        # per chunk, so every per-disparity slice below is static.
+        @pl.when(d_idx == 0)
+        def _():
+            scr_ref[...] = tgtp_ref[:, pl.ds(r0, Hx), :]
+
+        src = src_ref[pl.ds(r0, Hx), :]
+        sum_s = stats_ref[0, pl.ds(r0, Hx), :]
+        den_s = stats_ref[1, pl.ds(r0, Hx), :]  # sigma (Z*) or |s| (NCC)
     tgt_b = scr_ref[...]
 
     jj = jax.lax.broadcasted_iota(jnp.int32, (Hb, Wp), 1)
@@ -199,6 +224,36 @@ def box_fused_in_scope(func: MatchingFunction, shape, h_radius: int,
     return None
 
 
+def box_fused_banded_in_scope(shape, Dp, cv_dtype=jnp.float32):
+    """Band height for the BANDED fused CV — big geometries whose full
+    image/stat residents exceed VMEM (720p at large D): per grid step
+    the kernel streams prev/mid/next band blocks of every plane.
+    Returns Hb or None."""
+    H, W = shape
+    DC = 8
+    Hp = -(-H // 8) * 8
+    Wp = -(-W // 128) * 128
+    Wpp = Wp + Dp + DC
+    isz = 4
+    osz = jnp.dtype(cv_dtype).itemsize
+    for cand in (48, 40, 32, 24, 16, 8):
+        if cand > Hp or cand % 8 or Hp % cand or cand < _PADROWS:
+            continue
+        hx = cand + 2 * _PADROWS
+        streams = 2 * 3 * cand * (Wp + 3 * Wpp + 2 * Wp) * isz
+        scratch = 3 * hx * Wpp * isz
+        temps = (8 * hx + 3 * hx) * Wp * isz    # band temps + assembly
+        out_c = 2 * DC * cand * Wp * osz
+        # the 2x double-buffer term overcounts (measured: Hb=48 at 720p
+        # D=320 compiles at estimate 16.8 MB against the 16 MB scoped
+        # limit), so the acceptance bound is calibrated, not the raw
+        # scoped limit; larger bands halve the halo recompute waste
+        # (hx/cand: 1.33x at 48 vs 1.67x at 24 -> 7.6 vs 9.0 ms)
+        if streams + scratch + temps + out_c <= 17_000_000:
+            return cand
+    return None
+
+
 def _prep_inputs(kind, img_l, img_r, h_radius, v_radius, Hp, Wp, Wpp):
     """Window statistics in normal (H-major) orientation, pr-row-padded:
     returns (srcp, tgt_stack, stats_s) with srcp (Hpp, Wp), stats_s
@@ -238,7 +293,8 @@ def _prep_inputs(kind, img_l, img_r, h_radius, v_radius, Hp, Wp, Wpp):
 
 
 def _fused_call(kind, img_l, img_r, h_radius, v_radius, D, Dp, Hb,
-                cv_dtype, interpret, negate, pad_d_inf, pout_bake=None):
+                cv_dtype, interpret, negate, pad_d_inf, pout_bake=None,
+                banded=False):
     H, W = img_l.shape
     DC = 8
     Hp = -(-H // 8) * 8
@@ -252,22 +308,52 @@ def _fused_call(kind, img_l, img_r, h_radius, v_radius, D, Dp, Hb,
         _kernel, DC=DC, Hb=Hb, Wp=Wp, Wpp=Wpp, h_radius=h_radius,
         v_radius=v_radius, n=n, kind=kind, cv_dtype=cv_dtype, W1=W,
         negate=negate, pad_d_inf=pad_d_inf, D=D, H1=H,
-        pout_bake=pout_bake)
+        pout_bake=pout_bake, banded=banded)
     Hpp = Hp + 2 * pr
     Hx = Hb + 2 * pr
+    out_spec = pl.BlockSpec((DC, Hb, Wp), lambda h, d: (d, h, 0),
+                            memory_space=pltpu.VMEM)
+    out_shape = jax.ShapeDtypeStruct((Dp, Hp, Wp), cv_dtype)
+    scratch = [pltpu.VMEM((3, Hx, Wpp), jnp.float32)]
+    if not banded:
+        return pl.pallas_call(
+            kern, grid=(Hp // Hb, Dp // DC),
+            in_specs=[pl.BlockSpec((Hpp, Wp), lambda h, d: (0, 0),
+                                   memory_space=pltpu.VMEM),
+                      pl.BlockSpec((3, Hpp, Wpp), lambda h, d: (0, 0, 0),
+                                   memory_space=pltpu.VMEM),
+                      pl.BlockSpec((2, Hpp, Wp), lambda h, d: (0, 0, 0),
+                                   memory_space=pltpu.VMEM)],
+            out_specs=out_spec, out_shape=out_shape,
+            scratch_shapes=scratch,
+            interpret=interpret)(srcp, tgt_stack, stats_s)
+
+    # banded: pad a FULL band of rows top and bottom so the prev/mid/
+    # next block views (maps h, h+1, h+2) never leave the arrays
+    ext = Hb - pr
+    srcb = jnp.pad(srcp, ((ext, ext), (0, 0)))
+    tgtb = jnp.pad(tgt_stack, ((0, 0), (ext, ext), (0, 0)))
+    stab = jnp.pad(stats_s, ((0, 0), (ext, ext), (0, 0)))
+
+    def m2(k):
+        return pl.BlockSpec((Hb, Wp), lambda h, d, k=k: (h + k, 0),
+                            memory_space=pltpu.VMEM)
+
+    def m3t(k):
+        return pl.BlockSpec((3, Hb, Wpp), lambda h, d, k=k: (0, h + k, 0),
+                            memory_space=pltpu.VMEM)
+
+    def m3s(k):
+        return pl.BlockSpec((2, Hb, Wp), lambda h, d, k=k: (0, h + k, 0),
+                            memory_space=pltpu.VMEM)
+
     return pl.pallas_call(
         kern, grid=(Hp // Hb, Dp // DC),
-        in_specs=[pl.BlockSpec((Hpp, Wp), lambda h, d: (0, 0),
-                               memory_space=pltpu.VMEM),
-                  pl.BlockSpec((3, Hpp, Wpp), lambda h, d: (0, 0, 0),
-                               memory_space=pltpu.VMEM),
-                  pl.BlockSpec((2, Hpp, Wp), lambda h, d: (0, 0, 0),
-                               memory_space=pltpu.VMEM)],
-        out_specs=pl.BlockSpec((DC, Hb, Wp), lambda h, d: (d, h, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((Dp, Hp, Wp), cv_dtype),
-        scratch_shapes=[pltpu.VMEM((3, Hx, Wpp), jnp.float32)],
-        interpret=interpret)(srcp, tgt_stack, stats_s)
+        in_specs=[m2(0), m2(1), m2(2), m3t(0), m3t(1), m3t(2),
+                  m3s(0), m3s(1), m3s(2)],
+        out_specs=out_spec, out_shape=out_shape, scratch_shapes=scratch,
+        interpret=interpret)(srcb, srcb, srcb, tgtb, tgtb, tgtb,
+                             stab, stab, stab)
 
 
 def box_cost_volume_fused(func: MatchingFunction, img_l, img_r,
@@ -314,13 +400,19 @@ def box_cost_volume_fused_padded(func: MatchingFunction, img_l, img_r,
             MatchingFunction.ZNCC: "zncc"}.get(func)
     if kind is None or Dp % 8 or Dp < disp_width:
         return None
+    banded = False
     Hb = box_fused_in_scope(func, img_l.shape, h_radius, v_radius,
                             Dp, cv_dtype)
+    if Hb is None:
+        # big geometry: stream prev/mid/next band blocks instead of
+        # keeping the whole planes resident (e.g. 720p D=320)
+        Hb = box_fused_banded_in_scope(img_l.shape, Dp, cv_dtype)
+        banded = Hb is not None
     if Hb is None:
         return None
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     out = _fused_call(kind, img_l, img_r, h_radius, v_radius, disp_width,
                       Dp, Hb, cv_dtype, interpret, negate=negate,
-                      pad_d_inf=True, pout_bake=pout_bake)
+                      pad_d_inf=True, pout_bake=pout_bake, banded=banded)
     return jnp.moveaxis(out, 0, 1)        # (Hp, Dp, Wp), minor dim kept

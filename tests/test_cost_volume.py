@@ -408,3 +408,27 @@ def test_box_zncc_flat_patch_no_nan(rng):
                                   2, 2, 8, backend="box")
     inner = np.asarray(cv)[:, :-8]             # in-range disparities
     assert np.isfinite(inner).all()
+
+
+def test_banded_fused_cv_matches_full_resident():
+    """The banded fused CV (big geometries: prev/mid/next block
+    streaming instead of whole-plane residents) is bit-exact vs the
+    full-resident kernel."""
+    import jax.numpy as jnp
+    from libstevi_tpu.ops import box_pallas as bp
+
+    h, w, d = 72, 150, 17
+    rng = np.random.default_rng(4)
+    img_l = jnp.asarray(rng.uniform(0, 1, (h, w)).astype(np.float32))
+    img_r = jnp.asarray(rng.uniform(0, 1, (h, w)).astype(np.float32))
+    for dt, sub in ((jnp.float32, 8), (jnp.bfloat16, 16)):
+        dp = -(-d // sub) * sub
+        for kind in ("zncc", "zcc"):
+            full = bp._fused_call(kind, img_l, img_r, 3, 3, d, dp, 24, dt,
+                                  True, negate=True, pad_d_inf=True,
+                                  pout_bake=100.0)
+            band = bp._fused_call(kind, img_l, img_r, 3, 3, d, dp, 24, dt,
+                                  True, negate=True, pad_d_inf=True,
+                                  pout_bake=100.0, banded=True)
+            np.testing.assert_array_equal(np.asarray(full, np.float32),
+                                          np.asarray(band, np.float32))
