@@ -102,23 +102,26 @@ def main(argv=None):
             r = tcv.shape[-1] // 2
             disp_f = np.asarray(refine_disp_cost_interpolation(
                 k, tcv[..., r - 1:r + 2], idx))
+    elif args.matcher == "sgm":
+        # the production fast path: on TPU the whole chain (fused CV in
+        # both SGM-native layouts, Pout baking, fused WTA + subpixel)
+        cv_dtype = jnp.bfloat16 if args.precision == "bf16" else jnp.float32
+        from libstevi_tpu.ops import dense_sgm_stereo
+        rk = None if args.refine == "none" \
+            else InterpolationKernel[args.refine.upper()]
+        disp, idx, tcv = dense_sgm_stereo(
+            func, img_l, img_r, args.radius, args.radius, args.disp_width,
+            P1=args.sgm_p1, P2=args.sgm_p2, n_directions=args.sgm_dirs,
+            refine_kernel=rk, cv_dtype=cv_dtype)
+        disp_f = np.asarray(disp, np.float32)
     else:
         cv_dtype = jnp.bfloat16 if args.precision == "bf16" else jnp.float32
         cv = unfold_based_cost_volume(func, img_l, img_r, args.radius,
                                       args.radius, args.disp_width,
                                       cv_dtype=cv_dtype)
         strategy = MATCH_TRAITS[func].strategy
-        if args.matcher == "sgm":
-            # fused SGM + WTA + band-extraction fast path
-            from libstevi_tpu.ops import sgm_wta_truncated
-            idx, tcv = sgm_wta_truncated(cv, args.sgm_p1, args.sgm_p2,
-                                         n_directions=args.sgm_dirs,
-                                         strategy=strategy,
-                                         h_radius=args.radius,
-                                         v_radius=args.radius)
-        else:
-            idx = extract_selected_index(cv, strategy)
-            tcv = None
+        idx = extract_selected_index(cv, strategy)
+        tcv = None
         disp = selected_index_to_disp(idx)
         disp_f = np.asarray(disp, np.float32)
         if args.refine != "none":
