@@ -35,9 +35,20 @@ def max_flow_min_cut(n_vertices: int, edges, capacities, source: int,
     Returns the max-flow value, the source-side vertex mask of the min cut,
     and the saturated crossing edges.  ``backend="native"`` (default) runs
     the float-capacity Boykov-Kolmogorov solver; ``"scipy"`` the integer
-    preflow-push cross-check (capacities scaled/rounded to int32)."""
+    preflow-push cross-check (capacities scaled/rounded to int32).  When
+    the native codec cannot be built or loaded on this platform (no g++,
+    foreign-architecture checkout), the scipy route is used instead."""
     if backend == "native":
-        return _max_flow_native(n_vertices, edges, capacities, source, sink)
+        import subprocess
+        try:
+            return _max_flow_native(n_vertices, edges, capacities,
+                                    source, sink)
+        except (OSError, subprocess.CalledProcessError) as e:
+            import warnings
+            warnings.warn(
+                f"native max-flow unavailable ({e}); falling back to the "
+                "scipy integer backend (capacities scaled to int32)",
+                RuntimeWarning, stacklevel=2)
     from scipy.sparse import csr_matrix
     from scipy.sparse.csgraph import maximum_flow
 

@@ -224,11 +224,19 @@ def box_fused_in_scope(func: MatchingFunction, shape, h_radius: int,
     return None
 
 
-def box_fused_banded_in_scope(shape, Dp, cv_dtype=jnp.float32):
+def box_fused_banded_in_scope(func, shape, h_radius, v_radius, Dp,
+                              cv_dtype=jnp.float32):
     """Band height for the BANDED fused CV — big geometries whose full
     image/stat residents exceed VMEM (720p at large D): per grid step
     the kernel streams prev/mid/next band blocks of every plane.
-    Returns Hb or None."""
+    Returns Hb or None.  Same hard scope limits as the resident kernel:
+    dot-family cost, 2-D gray images, v_radius <= the 8-row halo (the
+    neighbor blocks only contribute _PADROWS rows each side)."""
+    kind = {MatchingFunction.CC: "cc", MatchingFunction.NCC: "ncc",
+            MatchingFunction.ZCC: "zcc",
+            MatchingFunction.ZNCC: "zncc"}.get(func)
+    if kind is None or len(shape) != 2 or v_radius > _PADROWS or Dp % 8:
+        return None
     H, W = shape
     DC = 8
     Hp = -(-H // 8) * 8
@@ -406,7 +414,8 @@ def box_cost_volume_fused_padded(func: MatchingFunction, img_l, img_r,
     if Hb is None:
         # big geometry: stream prev/mid/next band blocks instead of
         # keeping the whole planes resident (e.g. 720p D=320)
-        Hb = box_fused_banded_in_scope(img_l.shape, Dp, cv_dtype)
+        Hb = box_fused_banded_in_scope(func, img_l.shape, h_radius,
+                                       v_radius, Dp, cv_dtype)
         banded = Hb is not None
     if Hb is None:
         return None

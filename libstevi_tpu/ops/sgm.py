@@ -330,19 +330,22 @@ def _cost_mode_pass(cv: jnp.ndarray, ii, jj, active, P1: float, P2: float,
 # Pallas backend dispatch
 # ---------------------------------------------------------------------------
 
-def _pallas_adj(region, ml, P1, P2, Pout, W, n_directions):
+def _pallas_adj(region, ml, P1, P2, Pout, W, n_directions,
+                try_dhw=True):
     """All principal-direction contributions via the Pallas kernels, by
     preference order: the DHW (disparity-on-sublanes) fused passes —
     2.2x the HWD per-op rate, and since round 4 they reach HD D=320 by
     splitting the accumulate stream — then the old full-width HWD passes
     (`sgm_fused_adj`), then the W-chunked HWD passes with edge-history
-    relay (`sgm_chunked_adj`) as the last resort."""
+    relay (`sgm_chunked_adj`) as the last resort.  ``try_dhw=False``
+    skips the DHW attempt (the 16-direction caller already tried it)."""
     from .sgm_pallas import sgm_fused_adj, sgm_chunked_adj
-    from .sgm_pallas_dhw import sgm_fused_adj_dhw
-    a = sgm_fused_adj_dhw(jnp.moveaxis(region, -1, 1), ml, W, P1, P2,
-                          Pout, n_directions)
-    if a is not None:
-        return jnp.moveaxis(a, 1, -1)
+    if try_dhw:
+        from .sgm_pallas_dhw import sgm_fused_adj_dhw
+        a = sgm_fused_adj_dhw(jnp.moveaxis(region, -1, 1), ml, W, P1, P2,
+                              Pout, n_directions)
+        if a is not None:
+            return jnp.moveaxis(a, 1, -1)
     adj = sgm_fused_adj(region, ml, W, P1, P2, Pout, n_directions)
     if adj is None:
         adj = sgm_chunked_adj(region, ml, W, P1, P2, Pout, n_directions)
@@ -392,7 +395,8 @@ def sgm_cost_volume(cv: jnp.ndarray, P1: float, P2: float,
                 adj = jnp.moveaxis(a, 1, -1)
                 knight_done = True
         if adj is None:
-            adj = _pallas_adj(region, ml, P1, P2, Pout, W, n_directions)
+            adj = _pallas_adj(region, ml, P1, P2, Pout, W, n_directions,
+                              try_dhw=n_directions < 16)
     if adj is None:
         adj = _horizontal_group(region, ml, P1, P2, Pout, W)
         adj = adj + _vertical_group(region, ml, P1, P2, Pout, W)
@@ -457,11 +461,13 @@ def dense_sgm_stereo(func, img_l: jnp.ndarray, img_r: jnp.ndarray,
     from .refinement import refine_disp_cost_interpolation
     strategy = MATCH_TRAITS[func].strategy
     sign = 1.0 if strategy is ExtractionStrategy.COST else -1.0
-    H, W = img_l.shape
+    H, W = img_l.shape[:2]
     D = int(disp_width)
     r = cost_vol_radius
+    # the fused native-layout fast path is gray-image only (the builders
+    # are); multichannel inputs take the general composed chain below
     use_pallas = backend in ("auto", "pallas") \
-        and jax.default_backend() == "tpu"
+        and jax.default_backend() == "tpu" and img_l.ndim == 2
 
     idx = tcv = None
     if use_pallas and n_directions in (4, 8, 16) and P2 >= P1:
