@@ -478,12 +478,14 @@ def dense_sgm_stereo(func, img_l: jnp.ndarray, img_r: jnp.ndarray,
             dt = jnp.float32       # knight streams break packed-pair bf16
         sub = 8 if jnp.dtype(dt).itemsize == 4 else 16
         Dp = -(-D // sub) * sub
-        # Pout baking (4/8 directions): the out-of-image penalty rides
-        # the cost stream once, dropping the per-carry +Pout add from
-        # every issue-limited DP row; the WTA pass restores the
-        # direction multiplicity in one f32 op.  Bit-identical carries
-        # (see `sgm_pallas_dhw._dw_step`).
-        bake = n_directions < 16
+        # Pout baking: the out-of-image penalty rides the cost stream
+        # once, dropping the per-carry +Pout add from every
+        # issue-limited DP row; the WTA pass restores the per-pixel
+        # direction multiplicity (incl. corner doubling and, for 16
+        # directions, the knight seed weights) via a constant-folded
+        # plane in one f32 op.  Bit-identical carries (see
+        # `sgm_pallas_dhw._dw_step` / `_bake_mult_plane`).
+        bake = True
         cv_nat = box_cost_volume_fused_padded(
             func, img_l, img_r, h_radius, v_radius, D, Dp, dt,
             negate=sign < 0, pout_bake=float(Pout) if bake else None,

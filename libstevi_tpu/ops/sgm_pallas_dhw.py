@@ -151,10 +151,6 @@ def _dhw_rows_kernel(*refs, RC, Dp, Xp, Np, N1, X1, ml, W_pout, P1, P2,
     extents) so the drift parity stays concrete at trace time."""
     if knight and RC % 2:
         raise ValueError("knight passes need an even row chunk")
-    if knight and pout_baked:
-        raise ValueError("Pout baking is not supported with knight "
-                         "directions (phase-gated weights make the "
-                         "multiplicity row-dependent)")
     if N_glob is None:
         N_glob = N1
     n_carries = (3 if diag else 1) + (4 if knight else 0)
@@ -325,7 +321,7 @@ def _dhw_rows_kernel(*refs, RC, Dp, Xp, Np, N1, X1, ml, W_pout, P1, P2,
 
 def _dhw_wta_kernel(*refs, RC, Dp, Xp, N1, X1, D, ml, W_pout, P1, P2,
                     Pout, r, knight=False, knight_stream=False,
-                    bake_mult=None, bake_corners=False, refine=None):
+                    baked=False, refine=None):
     """The reverse-horizontal pass over the transposed (W, Dp, H) volume,
     fused with tie-last WTA + truncated-band extraction: per image
     column j (scan row) emits the argmin index over d of the complete
@@ -334,12 +330,14 @@ def _dhw_wta_kernel(*refs, RC, Dp, Xp, N1, X1, D, ml, W_pout, P1, P2,
     itself.  ``acc`` holds the accumulated down + up + forward-horizontal
     adjustment.  Outputs are (W, H) maps (caller transposes back).
 
-    ``bake_mult`` enables the Pout-BAKED mode: the other passes carried
-    no +Pout adds (the penalty rides the cost stream once), so this pass
+    ``baked`` enables the Pout-BAKED mode: the other passes carried no
+    +Pout adds (the penalty rides the cost stream once), so this pass
     restores the remaining direction multiplicity in one f32 op:
-    C += pa * (n_dirs - 1 + corner_doubling).  ``bake_corners`` adds the
-    four double-covered diagonal corner-line indicators
-    (`sgm.h:329-355`) — only the 8-direction set has them.
+    C += pa * mult_plane, where the streamed (scan-row, lane) plane
+    carries n_dirs - 1 plus the double-covered corner-line indicators
+    (`sgm.h:329-355`) plus, with 16 directions, the knight seed/corner
+    weights summed over all four passes (`_bake_mult_plane`) — all
+    data-independent, so the plane constant-folds.
 
     The grid is (lane chunks, scan chunks): the horizontal DP carries
     are LANE-LOCAL (vertical/diagonal interactions live in the other
@@ -353,6 +351,7 @@ def _dhw_wta_kernel(*refs, RC, Dp, Xp, N1, X1, D, ml, W_pout, P1, P2,
     cv_ref = rest.pop(0)
     acc_ref = rest.pop(0)
     kw_ref = rest.pop(0) if knight_stream else None
+    mult_ref = rest.pop(0) if baked else None
     n_maps = 1 + 2 * r + 1 + (1 if refine is not None else 0)
     idx_ref, *band_refs = rest[:n_maps]
     if refine is not None:
@@ -381,16 +380,13 @@ def _dhw_wta_kernel(*refs, RC, Dp, Xp, N1, X1, D, ml, W_pout, P1, P2,
     b = n - 1 - h
     carry = carry_ref[:]
     c_k = [kc[:] for kc in k_refs]
-    if knight and bake_mult is not None:
-        raise ValueError("Pout baking is not supported with knight "
-                         "directions")
     row_mask = pl.cdiv(N1, RC) * RC != N1
     for rr in range(RC - 1, -1, -1):
         j = b * RC + rr                 # image column
         base = cv_ref[rr]
         pa32 = jnp.where((ml + j + dd_col >= W_pout) & (j < N1),
                          jnp.float32(Pout), 0.0)
-        pa = None if bake_mult is not None else pa32.astype(dt)
+        pa = None if baked else pa32.astype(dt)
         cur, adj = _dw_step(carry, base, pa, P1, P2)
         carry = jnp.where(j < N1, cur, jnp.zeros((), dt)) \
             if row_mask else cur
@@ -411,20 +407,14 @@ def _dhw_wta_kernel(*refs, RC, Dp, Xp, N1, X1, D, ml, W_pout, P1, P2,
         # packed-bf16 compare masks cannot relayout against the i32 iota
         # (Mosaic restriction), and the bands are f32 outputs anyway.
         C = (acc_ref[rr] + adj + base).astype(jnp.float32)
-        if bake_mult is not None:
+        if baked:
             # restore the out-of-image penalty multiplicity: the cost
             # stream carried pa ONCE; the true SGM value counts it per
-            # direction (plus double-covered corner lines).  Affects
-            # only out-of-range (j + d >= W) entries, which never win
-            # the argmin and whose band slots are NaN-masked downstream.
-            mult = jnp.full((1, Xp), float(bake_mult), jnp.float32)
-            if bake_corners:
-                m4 = ((li == j).astype(jnp.float32)
-                      + (li == j - (N1 - X1)).astype(jnp.float32)
-                      + (li == N1 - 1 - j).astype(jnp.float32)
-                      + (li == X1 - 1 - j).astype(jnp.float32))
-                mult = mult + jnp.where(li < X1, m4, 0.0)
-            C = C + pa32 * mult
+            # direction (plus corner doubling / knight weights).
+            # Affects only out-of-range (j + d >= W) entries, which
+            # never win the argmin and whose band slots are NaN-masked
+            # downstream.
+            C = C + pa32 * mult_ref[rr].reshape(1, Xp)
         m = jnp.min(C, axis=0, keepdims=True)
         idx = jnp.max(jnp.where(C == m, dd, -1), axis=0)
         idx_ref[rr] = idx
@@ -506,6 +496,32 @@ def _knight_weights(Np, Xp, X1, N_glob, reverse, dt):
             w = 1.0 + (u == t // 2).astype(dt)
         planes.append(w)
     return jnp.stack(planes, axis=1).astype(dt)
+
+
+def _bake_mult_plane(Wp_rows, Hl, H1, W1, n_dirs):
+    """(Wp_rows, Hl) f32 plane for the Pout-baked WTA correction: the
+    per-pixel total direction multiplicity MINUS the one already banked
+    in the cost stream — n_dirs - 1, plus the four double-covered
+    diagonal corner-line indicators (8+ directions), plus the knight
+    seed-frontier/corner weights summed over all four passes (16
+    directions).  Data-independent -> constant-folded by XLA."""
+    jj = jnp.arange(Wp_rows, dtype=jnp.int32)[:, None]   # image column
+    ii = jnp.arange(Hl, dtype=jnp.int32)[None, :]        # image row
+    m = jnp.full((Wp_rows, Hl), float(n_dirs - 1), jnp.float32)
+    if n_dirs >= 8:
+        c4 = ((ii == jj).astype(jnp.float32)
+              + (ii == jj - (W1 - H1)).astype(jnp.float32)
+              + (ii == W1 - 1 - jj).astype(jnp.float32)
+              + (ii == H1 - 1 - jj).astype(jnp.float32))
+        m = m + jnp.where(ii < H1, c4, 0.0)
+    if n_dirs >= 16:
+        f32 = jnp.float32
+        kw_du = (_knight_weights(Hl, Wp_rows, W1, H1, False, f32)
+                 + _knight_weights(Hl, Wp_rows, W1, H1, True, f32))
+        kw_fr = (_knight_weights(Wp_rows, Hl, H1, W1, False, f32)
+                 + _knight_weights(Wp_rows, Hl, H1, W1, True, f32))
+        m = m + kw_du.sum(axis=1).T + kw_fr.sum(axis=1)
+    return m
 
 
 def _rows_call(cv_p, acc, *, RC, N1, X1, ml, W_pout, P1, P2, Pout,
@@ -633,8 +649,6 @@ def sgm_fused_wta_from_native(cv_nat, cv_T_nat, H1: int, W1: int, D: int,
     (idx, bands) or None when the geometry cannot fit the fused path."""
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
-    if pout_baked and n_directions >= 16:
-        raise ValueError("Pout baking requires n_directions in (4, 8)")
     return _run_dhw(None, ml, W_pout, P1, P2, Pout, n_directions >= 8,
                     vmem_budget, interpret, wta_radius,
                     knight=n_directions >= 16,
@@ -804,8 +818,7 @@ def _run_dhw(region, ml, W_pout, P1, P2, Pout, diag, vmem_budget,
         _dhw_wta_kernel, RC=rc_t, Dp=Dp, Xp=Lc, N1=W1, X1=H1, D=D,
         ml=ml, W_pout=W_pout, P1=float(P1), P2=float(P2), Pout=float(Pout),
         r=r, knight=knight, knight_stream=knight,
-        bake_mult=((8 if diag else 4) - 1) if pout_baked else None,
-        bake_corners=pout_baked and diag, refine=refine)
+        baked=pout_baked, refine=refine)
     in_specs = [spec, spec]
     args = (cv_cols, adj_T)
     if knight:
@@ -815,6 +828,11 @@ def _run_dhw(region, ml, W_pout, P1, P2, Pout, diag, vmem_budget,
         in_specs.append(kw_spec)
         args = args + (_knight_weights(Wp_rows, Hl_pad, H1, W1, True,
                                        cv_cols.dtype),)
+    if pout_baked:
+        in_specs.append(map_spec)
+        args = args + (_bake_mult_plane(
+            Wp_rows, Hl_pad, H1, W1,
+            16 if knight else (8 if diag else 4)),)
     n_maps = 2 + 2 * r + (1 if refine is not None else 0)
     outs = pl.pallas_call(
         kernel, grid=(nl, n_chunks), in_specs=in_specs,
