@@ -375,7 +375,6 @@ def _dhw_wta_kernel(*refs, RC, Dp, Xp, N1, X1, D, ml, W_pout, P1, P2,
     dd = jax.lax.broadcasted_iota(jnp.int32, (Dp, Xp), 0)
     dd_col = jax.lax.broadcasted_iota(jnp.int32, (Dp, 1), 0)
     lanes = jax.lax.broadcasted_iota(jnp.int32, (Dp, Xp), 1) + l0
-    li = jax.lax.broadcasted_iota(jnp.int32, (1, Xp), 1) + l0  # image row
     zcol = jnp.zeros((Dp, 1), dt)
     b = n - 1 - h
     carry = carry_ref[:]
@@ -446,8 +445,7 @@ def _dhw_wta_kernel(*refs, RC, Dp, Xp, N1, X1, D, ml, W_pout, P1, P2,
             # chain produces NaN.
             h_rad, v_rad = refine
             idx2 = idx[None, :]
-            li_row = jax.lax.broadcasted_iota(jnp.int32, (1, Xp), 1) \
-                + pl.program_id(0) * Xp
+            li_row = jax.lax.broadcasted_iota(jnp.int32, (1, Xp), 1) + l0
 
             def slot(k):
                 p = idx2 + (k - r)
