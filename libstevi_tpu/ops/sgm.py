@@ -478,18 +478,16 @@ def dense_sgm_stereo(func, img_l: jnp.ndarray, img_r: jnp.ndarray,
             dt = jnp.float32       # knight streams break packed-pair bf16
         sub = 8 if jnp.dtype(dt).itemsize == 4 else 16
         Dp = -(-D // sub) * sub
-        # Pout baking: the out-of-image penalty rides the cost stream
-        # once, dropping the per-carry +Pout add from every
-        # issue-limited DP row; the WTA pass restores the per-pixel
-        # direction multiplicity (incl. corner doubling and, for 16
-        # directions, the knight seed weights) via a constant-folded
-        # plane in one f32 op.  Bit-identical carries (see
-        # `sgm_pallas_dhw._dw_step` / `_bake_mult_plane`).
-        bake = True
+        # Pout baking (always on here): the out-of-image penalty rides
+        # the cost stream once, dropping the per-carry +Pout add from
+        # every issue-limited DP row; the WTA pass restores the
+        # per-pixel direction multiplicity (incl. corner doubling and,
+        # for 16 directions, the knight seed weights) via a
+        # constant-folded plane in one f32 op.  Bit-identical carries
+        # (see `sgm_pallas_dhw._dw_step` / `_bake_mult_plane`).
         cv_nat = box_cost_volume_fused_padded(
             func, img_l, img_r, h_radius, v_radius, D, Dp, dt,
-            negate=sign < 0, pout_bake=float(Pout) if bake else None,
-            interpret=False)
+            negate=sign < 0, pout_bake=float(Pout), interpret=False)
         if cv_nat is not None:
             # the transposed volume comes from ONE pad-free XLA relayout
             # of the padded volume (measured faster in context than a
@@ -503,7 +501,7 @@ def dense_sgm_stereo(func, img_l: jnp.ndarray, img_r: jnp.ndarray,
             res = sgm_fused_wta_from_native(
                 cv_nat, cv_T, H, W, D, 0, W, float(P1), float(P2),
                 float(Pout), n_directions, wta_radius=r, interpret=False,
-                pout_baked=bake,
+                pout_baked=True,
                 refine=(h_radius, v_radius) if fuse_refine else None)
             if res is not None:
                 idx, tcv = _tcv_from_bands(res[0], res[1], H, W, D,

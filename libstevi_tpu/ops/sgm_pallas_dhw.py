@@ -499,13 +499,17 @@ def _knight_weights(Np, Xp, X1, N_glob, reverse, dt):
 def _bake_mult_plane(Wp_rows, Hl, H1, W1, n_dirs):
     """(Wp_rows, Hl) f32 plane for the Pout-baked WTA correction: the
     per-pixel total direction multiplicity MINUS the one already banked
-    in the cost stream — n_dirs - 1, plus the four double-covered
-    diagonal corner-line indicators (8+ directions), plus the knight
+    in the cost stream.  The base counts only the PRINCIPAL carriers
+    (min(n_dirs, 8) - 1), plus the four double-covered diagonal
+    corner-line indicators (8+ directions), plus the knight
     seed-frontier/corner weights summed over all four passes (16
-    directions).  Data-independent -> constant-folded by XLA."""
+    directions) — the knight planes already carry each knight carrier's
+    base coverage (phase A is 1 + corner one-hot), so the base must NOT
+    count the 8 knight directions again.  Data-independent ->
+    constant-folded by XLA."""
     jj = jnp.arange(Wp_rows, dtype=jnp.int32)[:, None]   # image column
     ii = jnp.arange(Hl, dtype=jnp.int32)[None, :]        # image row
-    m = jnp.full((Wp_rows, Hl), float(n_dirs - 1), jnp.float32)
+    m = jnp.full((Wp_rows, Hl), float(min(n_dirs, 8) - 1), jnp.float32)
     if n_dirs >= 8:
         c4 = ((ii == jj).astype(jnp.float32)
               + (ii == jj - (W1 - H1)).astype(jnp.float32)

@@ -331,3 +331,37 @@ def test_fused_subpixel_matches_composed_chain():
         assert (np.isnan(dk) == np.isnan(dx)).all()
         f = np.isfinite(dk)
         np.testing.assert_array_equal(dk[f], dx[f])
+
+
+def test_pout_baked_16dir_matches_unbaked_raw_bands():
+    """16-direction Pout baking must reproduce the unbaked path on the
+    RAW band values too — including out-of-range (j + d >= W) slots,
+    where the multiplicity plane is the only thing restoring the
+    penalty (a wrong plane shows up ONLY here: valid slots never see
+    Pout).  idx must be exactly equal; raw bands to fp-association
+    noise (the unbaked path sums per-pass penalty adds, the baked path
+    applies one f32 multiply)."""
+    from libstevi_tpu.core import MatchingFunction
+    from libstevi_tpu.ops.box_pallas import box_cost_volume_fused_padded
+    from libstevi_tpu.ops import sgm_pallas_dhw as dhw
+
+    h, w, d = 43, 72, 17
+    rng = np.random.default_rng(1)
+    img_l = jnp.asarray(rng.uniform(0, 1, (h, w)).astype(np.float32))
+    img_r = jnp.asarray(rng.uniform(0, 1, (h, w)).astype(np.float32))
+    for nd in (4, 8, 16):
+        def build(bake):
+            a = box_cost_volume_fused_padded(
+                MatchingFunction.ZNCC, img_l, img_r, 3, 3, d, 24,
+                jnp.float32, negate=True,
+                pout_bake=100.0 if bake else None, interpret=True)
+            b = jnp.transpose(a, (2, 1, 0))
+            return dhw.sgm_fused_wta_from_native(
+                a, b, h, w, d, 0, w, 0.1, 0.5, 100.0, nd, wta_radius=1,
+                interpret=True, pout_baked=bake)
+        i0, b0 = build(False)
+        i1, b1 = build(True)
+        np.testing.assert_array_equal(np.asarray(i0), np.asarray(i1))
+        np.testing.assert_allclose(np.asarray(b1, np.float32),
+                                   np.asarray(b0, np.float32),
+                                   rtol=0, atol=2e-3)
