@@ -37,11 +37,12 @@ def _timed(fn, args, n=10):
         np.asarray(chained(l, r, 1 + n).ravel()[0])
         return ((time.perf_counter() - t0) - t1) / n
 
-    # tunnel round-trip noise can exceed a sub-ms op: take the best of
-    # three positive measurements
-    vals = [once() for _ in range(3)]
-    pos = [v for v in vals if v > 1e-6]
-    return min(pos) if pos else max(max(vals), 1e-6)
+    # tunnel round-trip noise can exceed a sub-ms op AND occasionally
+    # undershoot below physical floors (a 74 MB-writing kernel cannot
+    # take 0.1 ms): MEDIAN of five measurements, not min
+    import statistics
+    vals = sorted(max(once(), 1e-6) for _ in range(5))
+    return statistics.median(vals)
 
 
 def main():
@@ -90,14 +91,17 @@ def main():
     # dense on ONE chip; f32 at that scale takes the row-sharded
     # distributed pipeline (parallel/) or the hierarchical matcher.
     def sgm16_cfg(H, W, D):
-        # 16 directions stay f32 (knight masks break bf16 packed pairs)
+        # 16 directions stay f32 (knight masks break bf16 packed pairs);
+        # the dense path bakes Pout via the multiplicity plane
+        from libstevi_tpu.ops import dense_sgm_stereo, InterpolationKernel
+
         def fn(l, r):
-            cv = unfold_based_cost_volume(MatchingFunction.ZNCC, l, r, 3, 3,
-                                          D, backend="box", layout="dhw")
-            idx, _ = sgm_wta_truncated(cv, 0.1, 0.5, n_directions=16,
-                                       strategy=ExtractionStrategy.SCORE,
-                                       layout="dhw")
-            return idx
+            disp, _, _ = dense_sgm_stereo(
+                MatchingFunction.ZNCC, l, r, 3, 3, D, P1=0.1, P2=0.5,
+                n_directions=16,
+                refine_kernel=InterpolationKernel.PARABOLA,
+                cv_dtype=jnp.float32)
+            return disp
         return fn
 
     def wta_cfg(func, D):
