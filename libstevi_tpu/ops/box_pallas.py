@@ -139,10 +139,10 @@ def _kernel(*refs, DC, Hb, Wp, Wpp, h_radius, v_radius, n, kind,
         if kind == "cc":
             cost = cross
         elif kind == "ncc":
+            # inverse sigmas (see _prep_inputs): two multiplies, the
+            # zero-sigma mask rides the zero inverse
             den_t = jax.lax.slice_in_dim(tgt_b[2], k, k + Wp, axis=1)[c]
-            den = den_s[c] * den_t
-            cost = jnp.where(den > 0, cross / jnp.where(den > 0, den, 1.0),
-                             0.0)
+            cost = cross * den_s[c] * den_t
         else:                          # zcc / zncc
             sum_t = jax.lax.slice_in_dim(tgt_b[1], k, k + Wp, axis=1)[c]
             zcc = cross - sum_s[c] * sum_t * (1.0 / n)
@@ -151,9 +151,7 @@ def _kernel(*refs, DC, Hb, Wp, Wpp, h_radius, v_radius, n, kind,
             else:
                 den_t = jax.lax.slice_in_dim(tgt_b[2], k,
                                              k + Wp, axis=1)[c]
-                den = den_s[c] * den_t
-                cost = jnp.where(den > 0,
-                                 zcc / jnp.where(den > 0, den, 1.0), 0.0)
+                cost = zcc * den_s[c] * den_t
         if negate:
             cost = -cost
         in_range = jj + (d0 + k) < W1
@@ -291,6 +289,15 @@ def _prep_inputs(kind, img_l, img_r, h_radius, v_radius, Hp, Wp, Wpp):
     sum_t2 = box(tgtp * tgtp)
     den_t = jnp.sqrt(sum_t2) if kind == "ncc" \
         else jnp.sqrt(jnp.maximum(sum_t2 - sum_t * sum_t / n, 0.0))
+    # the normalized kinds store INVERSE sigmas (0 where sigma == 0):
+    # the kernel's per-disparity `cost = where(den > 0, x / den, 0)`
+    # collapses to two multiplies — the zero-sigma mask propagates
+    # through the zero inverse exactly (x is always finite)
+    if kind in ("ncc", "zncc"):
+        den_s = jnp.where(den_s > 0, 1.0 / jnp.where(den_s > 0, den_s,
+                                                     1.0), 0.0)
+        den_t = jnp.where(den_t > 0, 1.0 / jnp.where(den_t > 0, den_t,
+                                                     1.0), 0.0)
 
     rowpad = ((pr, pr), (0, 0))
     srcp = jnp.pad(srcp, rowpad)

@@ -80,17 +80,14 @@ def _kernel_T(src_ref, tgt_ref, stats_ref, out_ref, *, DC, Wb, Hl,
         if kind == "cc":
             cost = cross
         elif kind == "ncc":
-            den = den_s[c] * at_k(den_tb, k)[c]
-            cost = jnp.where(den > 0, cross / jnp.where(den > 0, den, 1.0),
-                             0.0)
+            # _prep_inputs stores INVERSE sigmas for the normalized kinds
+            cost = cross * den_s[c] * at_k(den_tb, k)[c]
         else:                          # zcc / zncc
             zcc = cross - sum_s[c] * at_k(sum_tb, k)[c] * (1.0 / n)
             if kind == "zcc":
                 cost = zcc
             else:
-                den = den_s[c] * at_k(den_tb, k)[c]
-                cost = jnp.where(den > 0,
-                                 zcc / jnp.where(den > 0, den, 1.0), 0.0)
+                cost = zcc * den_s[c] * at_k(den_tb, k)[c]
         if negate:
             cost = -cost
         # padded image rows (lanes >= H1) must be exact zeros: the
