@@ -97,6 +97,15 @@ def _max_flow_native(n_vertices: int, edges, capacities, source: int,
     from ..native import maxflow_library
 
     edges = np.ascontiguousarray(np.asarray(edges, np.int64).reshape(-1, 2))
+    # bk_maxflow indexes first[u]/first[v] without bounds checks — an
+    # endpoint outside [0, n_vertices) would be an out-of-bounds heap
+    # write in the C++ solver, so validate here (the scipy backend
+    # raises cleanly on its own)
+    if len(edges) and ((edges < 0).any() or (edges >= n_vertices).any()):
+        bad = edges[((edges < 0) | (edges >= n_vertices)).any(axis=1)][0]
+        raise ValueError(
+            f"edge ({bad[0]}, {bad[1]}) has an endpoint outside "
+            f"[0, {n_vertices})")
     caps = np.ascontiguousarray(np.asarray(capacities, np.float64))
     side = np.zeros(n_vertices, np.uint8)
     lib = maxflow_library()

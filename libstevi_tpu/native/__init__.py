@@ -2,14 +2,19 @@
 
 The reference's only compiled code is its IO layer (`io/*.cpp`, SURVEY.md
 §2.6); this package mirrors that: the LAS codec is C++ (`las_codec.cpp`)
-bound through ctypes.  Build products are cached next to the sources and
-rebuilt when the source mtime changes.
+bound through ctypes.  Build products are cached next to the sources with
+a source-content hash sidecar and rebuilt whenever the hash differs (git
+does not preserve mtimes, so an mtime comparison would make a fresh
+clone's pick checkout-order-dependent); a committed .so is only used
+as-is when no compiler is available.
 """
 
 from __future__ import annotations
 
 import ctypes
+import hashlib
 import os
+import shutil
 import subprocess
 
 _DIR = os.path.dirname(os.path.abspath(__file__))
@@ -18,11 +23,20 @@ _DIR = os.path.dirname(os.path.abspath(__file__))
 def _build(name: str) -> str:
     src = os.path.join(_DIR, f"{name}.cpp")
     so = os.path.join(_DIR, f"{name}.so")
-    if (not os.path.exists(so)
-            or os.path.getmtime(so) < os.path.getmtime(src)):
-        subprocess.run(
-            ["g++", "-O3", "-shared", "-fPIC", "-std=c++17", src, "-o", so],
-            check=True, capture_output=True)
+    sig = os.path.join(_DIR, f"{name}.src.sha256")
+    digest = hashlib.sha256(open(src, "rb").read()).hexdigest()
+    recorded = open(sig).read().strip() if os.path.exists(sig) else None
+    if os.path.exists(so) and recorded == digest:
+        return so
+    if shutil.which("g++") is None:
+        if os.path.exists(so):
+            return so          # committed binary, no toolchain to rebuild
+        raise OSError(f"no g++ available to build {name}.cpp")
+    subprocess.run(
+        ["g++", "-O3", "-shared", "-fPIC", "-std=c++17", src, "-o", so],
+        check=True, capture_output=True)
+    with open(sig, "w") as f:
+        f.write(digest + "\n")
     return so
 
 

@@ -222,6 +222,19 @@ def box_fused_in_scope(func: MatchingFunction, shape, h_radius: int,
     return None
 
 
+# Banded-mode configurations measured to COMPILE above the conservative
+# estimate (the 2x double-buffer term of the estimator overcounts; e.g.
+# 720p D=320 at Hb=48 compiles at estimate 16.8 MB against the 16 MB
+# scoped limit).  Keyed by (Hb, Wp, Wpp): the VMEM-relevant dims.  An
+# UNVERIFIED geometry whose estimate exceeds the real scoped limit falls
+# through to the next (smaller) band instead of risking a hard Mosaic
+# compile failure at runtime (the smaller band costs halo-recompute
+# waste, not correctness).
+_BANDED_VERIFIED = {(48, 1280, 1608)}
+_BANDED_EST_HARD = 15_900_000      # real scoped limit minus margin
+_BANDED_EST_CALIB = 17_000_000     # calibrated overcount allowance
+
+
 def box_fused_banded_in_scope(func, shape, h_radius, v_radius, Dp,
                               cv_dtype=jnp.float32):
     """Band height for the BANDED fused CV — big geometries whose full
@@ -250,12 +263,15 @@ def box_fused_banded_in_scope(func, shape, h_radius, v_radius, Dp,
         scratch = 3 * hx * Wpp * isz
         temps = (8 * hx + 3 * hx) * Wp * isz    # band temps + assembly
         out_c = 2 * DC * cand * Wp * osz
-        # the 2x double-buffer term overcounts (measured: Hb=48 at 720p
-        # D=320 compiles at estimate 16.8 MB against the 16 MB scoped
-        # limit), so the acceptance bound is calibrated, not the raw
-        # scoped limit; larger bands halve the halo recompute waste
-        # (hx/cand: 1.33x at 48 vs 1.67x at 24 -> 7.6 vs 9.0 ms)
-        if streams + scratch + temps + out_c <= 17_000_000:
+        # larger bands halve the halo recompute waste (hx/cand: 1.33x at
+        # 48 vs 1.67x at 24 -> 7.6 vs 9.0 ms), so accept up to the
+        # calibrated overcount allowance — but only for geometries
+        # verified to compile (`_BANDED_VERIFIED`); unverified ones hold
+        # to the real scoped limit rather than hard-fail in Mosaic
+        est = streams + scratch + temps + out_c
+        if est <= _BANDED_EST_HARD:
+            return cand
+        if est <= _BANDED_EST_CALIB and (cand, Wp, Wpp) in _BANDED_VERIFIED:
             return cand
     return None
 

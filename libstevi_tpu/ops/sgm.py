@@ -443,12 +443,12 @@ def dense_sgm_stereo(func, img_l: jnp.ndarray, img_r: jnp.ndarray,
     -> tie-last WTA -> truncated band -> optional cost-based subpixel —
     the dense hot loop of `examples/stereo-match/main.cpp:234-258`.
 
-    On TPU with a dot-family matching cost this runs the zero-relayout
-    fast path: the cost volume is EMITTED by the fused box kernels in
-    BOTH Pallas-native layouts ((Dp, Hp, Wp) d-outer for the down/up
-    passes and (Dp, Wp, Hl) for the horizontal + WTA passes, already
-    negated for SCORE functions and +inf-d-padded), so the only
-    full-volume relayout in the whole pipeline is the vertical
+    On TPU with a dot-family matching cost this runs the native-layout
+    fast path: the fused box kernel EMITS the cost volume as (Hp, Dp, Wp)
+    — disparity on sublanes, already negated for SCORE functions and
+    +inf-d-padded — feeding the down/up passes directly; the horizontal
+    + WTA passes read its (Wp, Dp, Hp) transpose.  The only full-volume
+    relayouts in the whole pipeline are that transpose and the down/up
     adjustment transpose — worth ~1 ms/frame at 480x640 D=120 against
     the compose-it-yourself chain.  Everywhere else it is exactly
     ``unfold_based_cost_volume`` -> ``sgm_wta_truncated`` ->

@@ -643,12 +643,13 @@ def sgm_fused_wta_from_native(cv_nat, cv_T_nat, H1: int, W1: int, D: int,
                               force_wta_nl: int | None = None,
                               refine: tuple | None = None):
     """SGM + WTA from cost volumes PRE-BUILT in both kernel-native
-    layouts: ``cv_nat`` (Dp, Hp, Wp) d-outer row-major and ``cv_T_nat``
-    (Dp, Wp, Hl) d-outer column-major (see
-    `box_pallas.box_cost_volume_fused_padded` / `_T`).  The passes read
-    both via d-outer block specs, so the only full-volume relayout left
-    in the pipeline is the down/up adjustment transpose.  Returns
-    (idx, bands) or None when the geometry cannot fit the fused path."""
+    layouts: ``cv_nat`` (Hp, Dp, Wp) — disparity on axis 1 (sublanes),
+    image columns on lanes — and ``cv_T_nat`` (Wp, Dp, Hl) — image rows
+    on lanes (`box_cost_volume_fused_padded` returns the former; the
+    latter is its (2, 1, 0) transpose).  The only full-volume relayouts
+    in the pipeline are that transpose and the down/up adjustment
+    transpose.  Returns (idx, bands) or None when the geometry cannot
+    fit the fused path."""
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     return _run_dhw(None, ml, W_pout, P1, P2, Pout, n_directions >= 8,
