@@ -48,9 +48,9 @@ def _timed(fn, args, n=10):
 def main():
     import jax
     import jax.numpy as jnp
-    from libstevi_tpu.core import MatchingFunction, ExtractionStrategy
+    from libstevi_tpu.core import MatchingFunction
     from libstevi_tpu.core.search import SearchOffset1
-    from libstevi_tpu.ops import unfold_based_cost_volume, sgm_wta_truncated
+    from libstevi_tpu.ops import unfold_based_cost_volume
     from libstevi_tpu.ops.patchmatch import patch_match
     from libstevi_tpu.ops.hierarchical import hierarchical_truncated_cost_volume
 
@@ -61,12 +61,21 @@ def main():
                 jnp.asarray(rng.uniform(0, 1, (H, W)).astype(np.float32)))
 
     def sgm_cfg(H, W, D):
+        # the reference's standard D-sweep rows ride the PRODUCTION path
+        # (`ops.dense_sgm_stereo`: native-layout fused CV, Pout baking,
+        # fused WTA+subpixel), in f32 — the semantic parity target of
+        # the reference's float pipeline.  (Before round 5 these rows
+        # measured the legacy composed scan-box + sgm_wta_truncated
+        # chain, i.e. not what ships.)
+        from libstevi_tpu.ops import dense_sgm_stereo, InterpolationKernel
+
         def fn(l, r):
-            cv = unfold_based_cost_volume(MatchingFunction.ZNCC, l, r, 3, 3,
-                                          D, backend="box")
-            idx, _ = sgm_wta_truncated(cv, 0.1, 0.5, n_directions=8,
-                                       strategy=ExtractionStrategy.SCORE)
-            return idx
+            disp, _, _ = dense_sgm_stereo(
+                MatchingFunction.ZNCC, l, r, 3, 3, D, P1=0.1, P2=0.5,
+                n_directions=8,
+                refine_kernel=InterpolationKernel.PARABOLA,
+                cv_dtype=jnp.float32)
+            return disp
         return fn
 
     def sgm_bf16_cfg(H, W, D):

@@ -27,6 +27,7 @@ from __future__ import annotations
 
 import functools
 
+import numpy as np
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
@@ -35,6 +36,19 @@ from jax.experimental.pallas import tpu as pltpu
 from ..core.types import MatchingFunction
 
 _PADROWS = 8                       # aligned halo reservoir above/below
+
+# MXU-V experiment switch (round 5, NEGATIVE result — kept with the
+# kernel support so the receipts reproduce): routing the V-window sum
+# onto the MXU as a banded 0/1 matmul frees ~40% of the VPU window ops,
+# but "default" matmul precision bf16-truncates the f32 window sums on
+# input and the truncation error amplifies through the zcc cancellation
+# on low-texture patches — measured prop_good 0.9995 -> 0.6761 on the
+# warp parity fixture (scripts/exp_r5_parityprec.py) despite a 0.19 ms
+# kernel-level win (scripts/exp_r5_cv.py).  "highest" (bf16x6
+# multi-pass) is quality-neutral (same_halfpx 1.00000) but measures AT
+# OR ABOVE the VPU tree in-context (scripts/exp_r5_mxuprec.py), so the
+# production default is None: the exact VPU sublane shift-add tree.
+MXU_V_PRECISION: str | None = None
 
 
 def _one_sided_tree(x, r, sh):
@@ -84,7 +98,7 @@ def _window_sum_sublanes(x, radius):
 
 def _kernel(*refs, DC, Hb, Wp, Wpp, h_radius, v_radius, n, kind,
             cv_dtype, W1, negate=False, pad_d_inf=False, D=None, H1=None,
-            pout_bake=None, banded=False):
+            pout_bake=None, banded=False, mxu_v=False):
     hb = pl.program_id(0)
     d_idx = pl.program_id(1)           # innermost: d chunks in order
     d0 = d_idx * DC
@@ -92,6 +106,8 @@ def _kernel(*refs, DC, Hb, Wp, Wpp, h_radius, v_radius, n, kind,
     pr = _PADROWS
     r0 = hb * Hb                       # aligned band start in padded rows
 
+    refs = list(refs)
+    bv_ref = refs.pop(9 if banded else 3) if mxu_v else None
     if banded:
         # big-geometry mode: the image/stat planes do NOT fit VMEM
         # whole, so each grid step streams the band plus its halo from
@@ -134,8 +150,25 @@ def _kernel(*refs, DC, Hb, Wp, Wpp, h_radius, v_radius, n, kind,
     c = slice(_PADROWS, _PADROWS + Hb)
     for k in range(DC):
         t_d = jax.lax.slice_in_dim(tgt_b[0], k, k + Wp, axis=1)
-        cross = _window_sum_sublanes(
-            _window_sum_lanes(src * t_d, h_radius), v_radius)[c]
+        if mxu_v:
+            # vertical window on the MXU as a banded 0/1 matmul —
+            # (Hb, Hx) @ (Hx, Wp), f32 accumulate — freeing the VPU's
+            # sublane shift-add tree on the issue-limited d loop
+            # (measured 0.66 vs 0.86 ms/volume at 480x640 D=120 bf16 at
+            # default precision).  Precision matters: "default"
+            # bf16-truncates the f32 window sums on input, and the
+            # truncation error amplifies through the zcc cancellation —
+            # measured 0.70 px mean disparity drift vs f32 on noise
+            # images; "highest" (bf16x6 multi-pass) is ~f32-exact.
+            # Reserved for bf16 volumes; f32 keeps the exact VPU tree.
+            prec = jax.lax.Precision(mxu_v)
+            cross = jax.lax.dot_general(
+                bv_ref[...], _window_sum_lanes(src * t_d, h_radius),
+                (((1,), (0,)), ((), ())), precision=prec,
+                preferred_element_type=jnp.float32)
+        else:
+            cross = _window_sum_sublanes(
+                _window_sum_lanes(src * t_d, h_radius), v_radius)[c]
         if kind == "cc":
             cost = cross
         elif kind == "ncc":
@@ -186,6 +219,17 @@ def _kernel(*refs, DC, Hb, Wp, Wpp, h_radius, v_radius, n, kind,
     scr_ref[...] = jnp.concatenate([tgt_b[:, :, DC:], zfill], axis=2)
 
 
+# Resident-mode configurations measured to COMPILE AND RUN above the
+# conservative estimate (the 8-tile `temps` term overcounts Mosaic's
+# live-register reuse; e.g. the flagship 480x640 D=120 bf16 at Hb=240
+# compiles at estimate ~22 MB and runs 6% faster than Hb=48 — the
+# smaller band pays (Hb+16)/Hb halo overcompute on every window sum).
+# Keyed by (Hb, Wp, Wpp, out_itemsize).
+_FUSED_VERIFIED = {(240, 640, 776, 2), (96, 640, 776, 2)}
+_FUSED_EST_HARD = 15_000_000
+_FUSED_EST_CALIB = 23_000_000
+
+
 def box_fused_in_scope(func: MatchingFunction, shape, h_radius: int,
                        v_radius: int, disp_width: int,
                        cv_dtype=jnp.float32):
@@ -206,7 +250,9 @@ def box_fused_in_scope(func: MatchingFunction, shape, h_radius: int,
     Wpp = Wp + Dp + DC
 
     # pick the largest row band whose residents + out blocks + live band
-    # temporaries fit the 16 MB scoped VMEM
+    # temporaries fit the 16 MB scoped VMEM; configurations measured to
+    # compile above the (over-counting) estimate are admitted from the
+    # verified registry, unverified ones hold to the hard bound
     isz = 4
     osz = jnp.dtype(cv_dtype).itemsize
     for cand in (Hp, 240, 120, 96, 48, 24):
@@ -217,7 +263,11 @@ def box_fused_in_scope(func: MatchingFunction, shape, h_radius: int,
         scratch = 3 * hx * Wpp * isz
         temps = 8 * hx * Wp * isz
         out_c = 2 * DC * cand * Wp * osz
-        if resident + scratch + temps + out_c <= 15_000_000:
+        est = resident + scratch + temps + out_c
+        if est <= _FUSED_EST_HARD:
+            return cand
+        if est <= _FUSED_EST_CALIB and (cand, Wp, Wpp,
+                                        osz) in _FUSED_VERIFIED:
             return cand
     return None
 
@@ -334,18 +384,33 @@ def _fused_call(kind, img_l, img_r, h_radius, v_radius, D, Dp, Hb,
     pr = _PADROWS
     srcp, tgt_stack, stats_s, n = _prep_inputs(
         kind, img_l, img_r, h_radius, v_radius, Hp, Wp, Wpp)
+    # bf16 volumes route the V-window to the MXU at MXU_V_PRECISION;
+    # f32 volumes keep the exact VPU sublane tree (reference-parity
+    # path).  mxu_v carries the precision string (or False).
+    mxu_v = MXU_V_PRECISION if (
+        MXU_V_PRECISION is not None
+        and jnp.dtype(cv_dtype) == jnp.dtype(jnp.bfloat16)) else False
 
     kern = functools.partial(
         _kernel, DC=DC, Hb=Hb, Wp=Wp, Wpp=Wpp, h_radius=h_radius,
         v_radius=v_radius, n=n, kind=kind, cv_dtype=cv_dtype, W1=W,
         negate=negate, pad_d_inf=pad_d_inf, D=D, H1=H,
-        pout_bake=pout_bake, banded=banded)
+        pout_bake=pout_bake, banded=banded, mxu_v=mxu_v)
     Hpp = Hp + 2 * pr
     Hx = Hb + 2 * pr
     out_spec = pl.BlockSpec((DC, Hb, Wp), lambda h, d: (d, h, 0),
                             memory_space=pltpu.VMEM)
     out_shape = jax.ShapeDtypeStruct((Dp, Hp, Wp), cv_dtype)
     scratch = [pltpu.VMEM((3, Hx, Wpp), jnp.float32)]
+    bv_spec = []
+    bv_arg = ()
+    if mxu_v:
+        rows = np.arange(Hb)[:, None]
+        cols = np.arange(Hx)[None, :]
+        bv_arg = (jnp.asarray(
+            (np.abs(cols - (rows + pr)) <= v_radius).astype(np.float32)),)
+        bv_spec = [pl.BlockSpec((Hb, Hx), lambda h, d: (0, 0),
+                                memory_space=pltpu.VMEM)]
     if not banded:
         return pl.pallas_call(
             kern, grid=(Hp // Hb, Dp // DC),
@@ -354,10 +419,10 @@ def _fused_call(kind, img_l, img_r, h_radius, v_radius, D, Dp, Hb,
                       pl.BlockSpec((3, Hpp, Wpp), lambda h, d: (0, 0, 0),
                                    memory_space=pltpu.VMEM),
                       pl.BlockSpec((2, Hpp, Wp), lambda h, d: (0, 0, 0),
-                                   memory_space=pltpu.VMEM)],
+                                   memory_space=pltpu.VMEM)] + bv_spec,
             out_specs=out_spec, out_shape=out_shape,
             scratch_shapes=scratch,
-            interpret=interpret)(srcp, tgt_stack, stats_s)
+            interpret=interpret)(srcp, tgt_stack, stats_s, *bv_arg)
 
     # banded: pad a FULL band of rows top and bottom so the prev/mid/
     # next block views (maps h, h+1, h+2) never leave the arrays
@@ -381,10 +446,10 @@ def _fused_call(kind, img_l, img_r, h_radius, v_radius, D, Dp, Hb,
     return pl.pallas_call(
         kern, grid=(Hp // Hb, Dp // DC),
         in_specs=[m2(0), m2(1), m2(2), m3t(0), m3t(1), m3t(2),
-                  m3s(0), m3s(1), m3s(2)],
+                  m3s(0), m3s(1), m3s(2)] + bv_spec,
         out_specs=out_spec, out_shape=out_shape, scratch_shapes=scratch,
         interpret=interpret)(srcb, srcb, srcb, tgtb, tgtb, tgtb,
-                             stab, stab, stab)
+                             stab, stab, stab, *bv_arg)
 
 
 def box_cost_volume_fused(func: MatchingFunction, img_l, img_r,

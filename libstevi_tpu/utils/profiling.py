@@ -68,6 +68,36 @@ def device_time(fn, *args, iters: int = 20) -> float:
     return max((t2 - t1) / iters, 1e-9)
 
 
+def device_timer(fn, *args):
+    """Compile-once variant of `device_time` for repeated measurements:
+    returns ``measure(iters) -> seconds/call`` over ONE pre-compiled
+    device chain.  `device_time` builds (and compiles) a fresh jitted
+    chain per call — ~30 s each through the remote compile service —
+    so interleaved A/B loops must compile once and reuse."""
+    x0, rest = args[0], args[1:]
+
+    @jax.jit
+    def chained(x, n):
+        def body(_, xc):
+            out = fn(xc, *rest)
+            leaf = jax.tree_util.tree_leaves(out)[0]
+            return xc + 1e-12 * leaf.astype(xc.dtype).ravel()[0]
+        return jax.lax.fori_loop(0, n, body, x)
+
+    np.asarray(chained(x0, 1).ravel()[0])            # compile + sync
+
+    def measure(iters: int = 20) -> float:
+        t0 = time.perf_counter()
+        np.asarray(chained(x0, 1).ravel()[0])
+        t1 = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        np.asarray(chained(x0, 1 + iters).ravel()[0])
+        t2 = time.perf_counter() - t0
+        return max((t2 - t1) / iters, 1e-9)
+
+    return measure
+
+
 def cost_analysis(fn, *args) -> dict:
     """XLA's compiled cost analysis (flops, bytes accessed, ...) for
     ``jit(fn)(*args)``."""
