@@ -90,22 +90,33 @@ def _knight_row(c_k, base, pa, t, t_par, lanes, X1, P1, P2, upd, dt, zcol,
     frontier (t >= 2u + 1 with u = lane distance from the drift's entry
     edge — each drift step lets one more side line enter at lane 0), and
     the doubly-enumerated corner seed (u == t//2) counts twice.  ``t_par``
-    is the CONCRETE parity of ``t`` (the traced value only feeds masks).
-    Returns (new carries, summed adj contribution).
+    is the parity of ``t``: a CONCRETE int when the caller can prove it
+    at trace time (even row chunks, even shard offsets), else a TRACED
+    scalar — the lane shift then becomes a select between shifted and
+    unshifted carries (4 extra selects/row; only the distributed
+    odd-shard path pays this).  Returns (new carries, summed adj
+    contribution).
 
     ``upd`` receives the PRE-shift carry as ``prev`` so that relay
     pass-through rows (``with_carries`` mode) keep the carry exactly at
     the last real row's post-step state — the next real row (possibly on
     the next shard) re-derives the shift from its own global parity."""
+    concrete_par = isinstance(t_par, int)
     extra = None
     new = []
     for kk, c in enumerate(c_k):
         plus = kk < 2                    # drift toward higher lanes
         phase_b = kk % 2 == 1
         c_pre = c
-        if (t_par == 1) if phase_b else (t_par == 0):
-            c = (jnp.concatenate([zcol, c[:, :-1]], 1) if plus
-                 else jnp.concatenate([c[:, 1:], zcol], 1))
+        want = 1 if phase_b else 0
+        if concrete_par:
+            if t_par == want:
+                c = (jnp.concatenate([zcol, c[:, :-1]], 1) if plus
+                     else jnp.concatenate([c[:, 1:], zcol], 1))
+        else:
+            shifted = (jnp.concatenate([zcol, c[:, :-1]], 1) if plus
+                       else jnp.concatenate([c[:, 1:], zcol], 1))
+            c = jnp.where(t_par == want, shifted, c)
         cur, adj = _dw_step(c, base, pa, P1, P2)
         new.append(upd(c_pre, cur))
         if w_stream is not None:
@@ -126,7 +137,7 @@ def _dhw_rows_kernel(*refs, RC, Dp, Xp, Np, N1, X1, ml, W_pout, P1, P2,
                      Pout, reverse, diag, accumulate, transposed,
                      with_carries, H_corner, knight=False, N_glob=None,
                      corner_stream=False, knight_stream=False,
-                     pout_baked=False):
+                     pout_baked=False, parity_traced=False):
     """One streaming pass over scan rows of a (N, Dp, Xp) volume.
 
     Normal orientation (``transposed=False``): scan rows are image rows,
@@ -147,10 +158,14 @@ def _dhw_rows_kernel(*refs, RC, Dp, Xp, Np, N1, X1, ml, W_pout, P1, P2,
     ``N_glob`` is the global scan extent (defaults to ``N1``): in
     ``with_carries`` mode the knight drift parity and the transposed
     Pout gate key on the GLOBAL scan index ``i0 + i``.  Knight relay
-    exactness requires the caller to keep ``i0`` even (even shard scan
-    extents) so the drift parity stays concrete at trace time."""
-    if knight and RC % 2:
-        raise ValueError("knight passes need an even row chunk")
+    prefers ``i0`` even (even shard scan extents) so the drift parity
+    stays concrete at trace time; ``parity_traced`` lifts that by
+    deriving the parity from the traced global index (the knight lane
+    shifts become selects — odd shard extents then work at a small
+    per-row cost)."""
+    if knight and RC % 2 and not parity_traced:
+        raise ValueError("knight passes need an even row chunk "
+                         "(or parity_traced)")
     if N_glob is None:
         N_glob = N1
     n_carries = (3 if diag else 1) + (4 if knight else 0)
@@ -293,10 +308,15 @@ def _dhw_rows_kernel(*refs, RC, Dp, Xp, Np, N1, X1, ml, W_pout, P1, P2,
                 total = total + adj * (1.0 + (lanes == cj).astype(dt))
         if knight:
             # GLOBAL step index from the pass start edge; parity is
-            # concrete because RC is even (b * RC cannot flip it) and,
-            # in with_carries mode, the caller keeps i0 even
+            # concrete when RC is even (b * RC cannot flip it) and, in
+            # with_carries mode, the caller keeps i0 even — else
+            # ``parity_traced`` derives it from the traced index
             t = ig if not reverse else (N_glob - 1 - ig)
-            t_par = (rr % 2) if not reverse else ((N_glob - 1 - rr) % 2)
+            if parity_traced:
+                t_par = t % 2
+            else:
+                t_par = (rr % 2) if not reverse \
+                    else ((N_glob - 1 - rr) % 2)
             c_k, extra = _knight_row(
                 c_k, base, pa, t, t_par, lanes, X1, P1, P2, upd, dt, zcol,
                 w_stream=kw_ref[rr] if knight_stream else None)
@@ -881,6 +901,7 @@ def sgm_rows_shard_pass_dhw(cv_p: jnp.ndarray, acc, carries, i0, *,
                             Pout: float, reverse: bool, diag: bool,
                             knight: bool = False, transposed: bool = False,
                             N_glob: int | None = None,
+                            parity_traced: bool = False,
                             vmem_budget: int = 12 * 1024 * 1024,
                             interpret: bool = False):
     """One shard's down (or up) DHW pass with carry injection
@@ -897,14 +918,16 @@ def sgm_rows_shard_pass_dhw(cv_p: jnp.ndarray, acc, carries, i0, *,
     16-direction distributed pipeline, which reshards row->column with
     an `all_to_all` so the horizontal knight families relay across
     column shards exactly like the vertical ones do across row shards.
-    ``N_glob`` is then the global column count.  Knight relays require
-    even shard scan extents (``i0`` parity must be concrete)."""
+    ``N_glob`` is then the global column count.  Knight relays keep the
+    drift parity concrete when shard scan extents are even; for odd
+    extents pass ``parity_traced`` (the parity is derived from the
+    traced global index at a small per-row select cost)."""
     Hp, Dp, Wp = cv_p.shape
     isz = jnp.dtype(cv_p.dtype).itemsize
     n_car = (3 if diag else 1) + (4 if knight else 0)
     rc = _pick_rc(Dp, Wp, 3 * n_car, vmem_budget,
                   n_streams=3 if acc is not None else 2, itemsize=isz)
-    if knight and rc == 1:
+    if knight and rc == 1 and not parity_traced:
         rc = None                        # drift parity needs even chunks
     if rc is None:
         raise ValueError("shard volume too wide for the fused DHW pass")
@@ -931,7 +954,8 @@ def sgm_rows_shard_pass_dhw(cv_p: jnp.ndarray, acc, carries, i0, *,
         Pout=float(Pout), reverse=reverse, diag=diag, knight=knight,
         accumulate=acc is not None, transposed=transposed,
         with_carries=True, H_corner=H_img,
-        N_glob=H_img if N_glob is None else N_glob)
+        N_glob=H_img if N_glob is None else N_glob,
+        parity_traced=parity_traced)
     in_specs = [spec] + ([spec] if acc is not None else []) \
         + [smem] + [car_spec] * n_car
     args = ((cv_p,) + ((acc,) if acc is not None else ())

@@ -200,12 +200,16 @@ def distributed_sgm_fused_dhw(cv_local: jnp.ndarray, P1: float, P2: float,
 
     ``n_directions=16`` adds the knight-move families
     (`correlation/sgm.h:57-155,367`): the down/up knights relay across
-    row shards with 4 extra (Dp, Wp) carries (needs even shard heights
-    so the drift parity is concrete), and the horizontal knights — which
-    drift one ROW per two columns, crossing row shards mid-scan — run
-    after an `all_to_all` reshard to COLUMN shards, where they become
-    plain scan-axis carries and relay with the same mechanism (needs
-    W divisible by the axis size with even per-shard column counts)."""
+    row shards with 4 extra (Dp, Wp) carries (even shard heights keep
+    the drift parity concrete; odd heights derive it from the traced
+    global row index — `sgm_pallas_dhw` ``parity_traced`` — at a small
+    per-row select cost), and the horizontal knights — which drift one
+    ROW per two columns, crossing row shards mid-scan — run after an
+    `all_to_all` reshard to COLUMN shards, where they become plain
+    scan-axis carries and relay with the same mechanism (W that does
+    not split into even per-shard column counts is zero-padded on the
+    right and sliced back — exact, because zero-cost pad columns with a
+    globally-gated Pout self-sustain the zero line-start carry)."""
     from ..ops.sgm_pallas_dhw import (pad_shard_volume_dhw,
                                       sgm_rows_shard_pass_dhw,
                                       sgm_cols_shard_pass_dhw)
@@ -222,19 +226,16 @@ def distributed_sgm_fused_dhw(cv_local: jnp.ndarray, P1: float, P2: float,
     cv_p = pad_shard_volume_dhw(cv_local)
     Hp, Dp, Wp = cv_p.shape
     n_car = (3 if diag else 1) + (4 if knight else 0)
-    if knight and H1 % 2:
-        raise ValueError("16-direction distributed SGM needs even shard "
-                         "heights (global drift parity must be concrete)")
-    if knight and (W1 % n or (W1 // n) % 2):
-        raise ValueError("16-direction distributed SGM needs W divisible "
-                         "by the tile axis with even per-shard columns")
+    # odd shard heights make the global drift parity shard-dependent —
+    # derive it from the traced global row index instead of trace-time
+    par_traced = bool(knight and H1 % 2)
 
     def pass_fn(acc, carries, reverse):
         return sgm_rows_shard_pass_dhw(
             cv_p, acc, carries, i0, H1=H1, W1=W1, H_img=H_img,
             ml=0, W_pout=W1, P1=P1, P2=P2, Pout=Pout,
             reverse=reverse, diag=diag, knight=knight,
-            interpret=interpret)
+            parity_traced=par_traced, interpret=interpret)
 
     def relay(acc, reverse):
         return _carry_relay(acc, reverse=reverse, axis_name=axis_name,
@@ -267,14 +268,29 @@ def _transposed_knight_stage(cv_local, adj_local, P1, P2, Pout, axis_name,
     families drift one lane (image row) per two scan steps (columns);
     with columns as the sharded scan axis and full-height lanes, the
     drift never crosses a shard — only the scan carry does, which the
-    relay hands off bit-exactly."""
+    relay hands off bit-exactly.
+
+    W that does not split into even per-shard column counts is
+    zero-padded on the right before the reshard and sliced back after:
+    pad columns carry zero cost and a globally-gated Pout (the Pout /
+    knight-weight masks key on ``N_glob = W`` real), so a reverse scan
+    entering from the pad region holds the exact zero line-start carry
+    when it reaches the last real column."""
     from ..ops.sgm_pallas_dhw import (pad_shard_volume_dhw,
                                       sgm_rows_shard_pass_dhw)
     H1, W, D = cv_local.shape
     n = jax.lax.axis_size(axis_name)
     me = jax.lax.axis_index(axis_name)
     H = H1 * n
-    W_loc = W // n
+    # per-shard column count: ceil to an even count (concrete drift
+    # parity via even j0) and pad the global right edge to n * W_loc
+    W_loc = -(-W // n)
+    W_loc = W_loc + (W_loc % 2)
+    W_pad = W_loc * n
+    if W_pad != W:
+        pad = ((0, 0), (0, W_pad - W), (0, 0))
+        cv_local = jnp.pad(cv_local, pad)
+        adj_local = jnp.pad(adj_local, pad)
 
     def to_cols(x):                      # (H1, W, D) -> (W_loc, H, D)
         x = jax.lax.all_to_all(x, axis_name, split_axis=1, concat_axis=0,
@@ -306,5 +322,6 @@ def _transposed_knight_stage(cv_local, adj_local, P1, P2, Pout, axis_name,
     adj_cp = relay_T(adj_cp, reverse=True)
     out = jnp.moveaxis(adj_cp[:W_loc, :D, :H], 1, -1)   # (W_loc, H, D)
     out = jnp.moveaxis(out, 0, 1)                       # (H, W_loc, D)
-    return jax.lax.all_to_all(out, axis_name, split_axis=0, concat_axis=1,
-                              tiled=True)
+    out = jax.lax.all_to_all(out, axis_name, split_axis=0, concat_axis=1,
+                             tiled=True)                # (H1, W_pad, D)
+    return out[:, :W, :]                 # drop the even-split pad columns

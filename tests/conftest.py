@@ -22,6 +22,12 @@ import numpy as np
 import pytest
 
 
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers", "slow: long-running validation (flagship-geometry "
+        "distributed runs); deselect with -m 'not slow'")
+
+
 @pytest.fixture
 def rng():
     return np.random.default_rng(42)

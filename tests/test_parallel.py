@@ -256,6 +256,35 @@ def test_distributed_fused_sgm_dhw_16dir_matches_single_chip(rng):
         np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
 
 
+def test_distributed_16dir_odd_shards_and_nondivisible_w(rng):
+    """Round-5: the 16-direction divisibility restrictions are lifted —
+    odd shard heights ride the traced-parity knight shifts, and W that
+    does not split into even per-shard columns is auto-padded around the
+    all_to_all column stage.  Exact vs single-chip in every case."""
+    import jax
+    from jax.sharding import PartitionSpec as P
+    from libstevi_tpu.ops.sgm import sgm_cost_volume
+    from libstevi_tpu.parallel.sgm_dist import distributed_sgm_fused_dhw
+
+    mesh4 = make_stereo_mesh(MeshSpec(tile=4), jax.devices()[:4])
+    cases = [(36, 24, 5),    # H_loc = 9 (odd): traced drift parity
+             (32, 22, 5),    # W % 4 != 0: right-pad to 24 (6/shard)
+             (36, 28, 5)]    # both odd H_loc and odd W//n (7 -> 8/shard)
+    for H2, W2, D2 in cases:
+        cv = jnp.asarray(rng.uniform(0, 4, (H2, W2, D2)).astype(np.float32))
+        want = np.asarray(sgm_cost_volume(cv, 0.3, 1.1, Pout=7.0,
+                                          n_directions=16, backend="xla"))
+        f = jax.shard_map(
+            lambda c: distributed_sgm_fused_dhw(c, 0.3, 1.1, 7.0,
+                                                n_directions=16,
+                                                interpret=True),
+            mesh=mesh4, in_specs=P("tile"), out_specs=P("tile"),
+            check_vma=False)
+        got = np.asarray(jax.jit(f)(cv))
+        np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4,
+                                   err_msg=f"case {(H2, W2, D2)}")
+
+
 def test_distributed_full_step_16dir_matches_single_chip(rng):
     """The flagship multi-chip step with 16-direction SGM (knight relay
     across row shards + all_to_all column stage) == single-chip."""
@@ -302,6 +331,38 @@ def test_distributed_fused_sgm_dhw_medium_shape_8dev(rng):
         check_vma=False)
     got = np.asarray(jax.jit(f)(cv))
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("nd", [8, 16])
+def test_distributed_sgm_flagship_geometry(rng, nd):
+    """Flagship-geometry distributed validation (VERDICT r4 #4): the
+    row-sharded DHW SGM at 480x640 D=120 across all 8 virtual devices,
+    8 and 16 directions, BIT-identical to the single-chip fused kernel
+    path (same kernel arithmetic, carries relayed exactly)."""
+    import jax
+    from jax.sharding import PartitionSpec as P
+    from libstevi_tpu.ops import sgm_pallas_dhw as dhw
+    from libstevi_tpu.parallel.sgm_dist import distributed_sgm_fused_dhw
+
+    H2, W2, D2 = 480, 640, 120
+    cv = jnp.asarray(rng.uniform(0, 4, (H2, W2, D2)).astype(np.float32))
+
+    # single-chip reference through the SAME fused kernel family
+    adj = dhw.sgm_fused_adj_dhw(jnp.moveaxis(cv, -1, 1), 0, W2, 0.3, 1.1,
+                                7.0, nd, interpret=True)
+    assert adj is not None
+    want = np.asarray(cv + jnp.moveaxis(adj, 1, -1))
+
+    mesh8 = make_stereo_mesh(MeshSpec(tile=8), jax.devices()[:8])
+    f = jax.shard_map(
+        lambda c: distributed_sgm_fused_dhw(c, 0.3, 1.1, 7.0,
+                                            n_directions=nd,
+                                            interpret=True),
+        mesh=mesh8, in_specs=P("tile"), out_specs=P("tile"),
+        check_vma=False)
+    got = np.asarray(jax.jit(f)(cv))
+    np.testing.assert_array_equal(got, want)
 
 
 def test_dense_stereo_step_8dir_batch_sharded(rng):
