@@ -48,6 +48,25 @@ from jax.experimental.pallas import tpu as pltpu
 
 _INF = float("inf")
 
+# In-context pipeline tuning hooks (scripts/exp_r5_pipeline.py).
+# Round-5 measured results at the flagship geometry (480x640 D=120
+# bf16, interleaved in one window):
+#   rc_down=2        3.504 ms vs 3.534 production — small, consistent
+#                    across reps (isolated: down rc=2 0.635 vs rc=8
+#                    0.753; the 3-stream acc passes prefer rc=8) —
+#                    adopted via _RC_DOWN_CALIB below;
+#   force_split_up   3.655 ms — NEGATIVE: although a transpose with an
+#                    XLA producer measures ~free in isolation (0.046 ms
+#                    for 78 MB — the producer writes directly in the
+#                    flipped layout), in context XLA materializes the
+#                    `adj_d + adj_u` add and still pays the relayout,
+#                    so the extra 2-stream write loses to the acc pass.
+TUNE = {"rc_down": None, "rc_up": None, "force_split_up": False}
+
+# Measured-best down-pass row chunks per (Dp, Xp, itemsize); geometries
+# not listed use the generic picker.
+_RC_DOWN_CALIB = {(128, 640, 2): 2}
+
 
 def _round_up(x, m):
     return (x + m - 1) // m * m
@@ -704,6 +723,14 @@ def _run_dhw(region, ml, W_pout, P1, P2, Pout, diag, vmem_budget,
     nc = (3 if diag else 1) + nck
     rc_down = _pick_rc(Dp, Wp, nc, vmem_budget, n_streams=2, itemsize=isz)
     rc_up = _pick_rc(Dp, Wp, nc, vmem_budget, n_streams=3, itemsize=isz)
+    if rc_down is not None and not knight:
+        calib = _RC_DOWN_CALIB.get((Dp, Wp, isz))
+        if calib:
+            rc_down = min(calib, rc_down)
+    if TUNE.get("rc_down") and rc_down is not None:
+        rc_down = min(TUNE["rc_down"], rc_down)
+    if TUNE.get("rc_up") and rc_up is not None:
+        rc_up = min(TUNE["rc_up"], rc_up)
     # big geometries (e.g. HD D=320): the 3-stream accumulate pass does
     # not fit scoped VMEM at full width, but a 2-stream pass does — run
     # up WITHOUT the accumulator stream and add the two adjustment
@@ -713,6 +740,8 @@ def _run_dhw(region, ml, W_pout, P1, P2, Pout, diag, vmem_budget,
     split_up = rc_up is None and rc_down is not None
     if split_up:
         rc_up = rc_down
+    elif TUNE.get("force_split_up") and rc_down is not None:
+        split_up = True
     rc_fwd = _pick_rc(Dp, Hp_lanes, 1 + nck, vmem_budget, n_streams=3,
                       itemsize=isz)
     split_fwd = rc_fwd is None
