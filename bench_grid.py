@@ -125,9 +125,16 @@ def main():
             return extract_selected_index(cv, MATCH_TRAITS[func].strategy)
         return fn
 
+    # the D-sweep runs BOTH precisions: f32 is the reference float
+    # path's semantic parity target; bf16 is the TPU-native serving
+    # configuration (committed parity bound PARITY_r02/r05)
     configs = [("SGM8 ZNCC SD D=20", 480, 640, sgm_cfg(480, 640, 20)),
                ("SGM8 ZNCC SD D=160", 480, 640, sgm_cfg(480, 640, 160)),
                ("SGM8 ZNCC SD D=300", 480, 640, sgm_cfg(480, 640, 300)),
+               ("SGM8 ZNCC bf16 SD D=160", 480, 640,
+                sgm_bf16_cfg(480, 640, 160)),
+               ("SGM8 ZNCC bf16 SD D=300", 480, 640,
+                sgm_bf16_cfg(480, 640, 300)),
                ("SGM8 ZNCC bf16 SD D=120", 480, 640,
                 sgm_bf16_cfg(480, 640, 120)),
                ("SGM16 ZNCC SD D=120", 480, 640, sgm16_cfg(480, 640, 120)),
