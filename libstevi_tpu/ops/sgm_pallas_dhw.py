@@ -774,15 +774,16 @@ def _run_dhw(region, ml, W_pout, P1, P2, Pout, diag, vmem_budget,
     elif wta_radius is not None:
         def wta_est(lc):
             # stack term: ~11 live f32 row-expression tiles, same
-            # calibration as _pick_rc (8 under-counted: Dp=304 Hl=480
-            # bf16 passed the estimate at 14.3 MB and OOMed at 16.33
+            # calibration as _pick_rc; acceptance bound is the REAL
+            # scoped limit minus margin, not budget+slack (Dp=304
+            # Hl=480 bf16 passed the looser bound and OOMed at 16.33 MB
             # against the 16 MB scoped limit — bench grid D=300 bf16)
             return ((1 + nck) * Dp * lc * isz + 4 * rc_t * Dp * lc * isz
                     + 11 * Dp * lc * 4)
         found = False
         for nl_c in (1, 2, 3, 4, 6, 8, 12, 16):
             lc_c = Hp_lanes if nl_c == 1                 else _round_up(-(-Hp_lanes // nl_c), 128)
-            if wta_est(lc_c) <= vmem_budget + 4 * 2 ** 20:
+            if wta_est(lc_c) <= 15_900_000:
                 wta_nl, wta_lc, found = nl_c, lc_c, True
                 break
             if knight:
