@@ -48,7 +48,8 @@ def main():
             "vs_baseline": 0.0,
             "error": "TPU unreachable (tunnel hang on a trivial matmul); "
                      "no measurement taken — last good record: "
-                     "~204 fps bf16 (round-2 session)",
+                     "289.6 fps / 3.453 ms median-of-5 bf16 "
+                     "(round-5 session)",
         }))
         return
 

@@ -98,7 +98,7 @@ def _window_sum_sublanes(x, radius):
 
 def _kernel(*refs, DC, Hb, Wp, Wpp, h_radius, v_radius, n, kind,
             cv_dtype, W1, negate=False, pad_d_inf=False, D=None, H1=None,
-            pout_bake=None, banded=False, mxu_v=False):
+            pout_bake=None, banded=False, mxu_v=False, Dp_total=None):
     hb = pl.program_id(0)
     d_idx = pl.program_id(1)           # innermost: d chunks in order
     d0 = d_idx * DC
@@ -148,6 +148,42 @@ def _kernel(*refs, DC, Hb, Wp, Wpp, h_radius, v_radius, n, kind,
 
     jj = jax.lax.broadcasted_iota(jnp.int32, (Hb, Wp), 1)
     c = slice(_PADROWS, _PADROWS + Hb)
+    if pad_d_inf and D is not None and Dp_total is not None \
+            and Dp_total - D >= DC:
+        # the volume's d-pad spans at least one whole chunk (e.g. D=120
+        # -> Dp=128 bf16): that chunk is pure inf-pattern — skip its
+        # window sums and scratch advance entirely (the next grid step
+        # is a new band's d_idx==0, which reloads the scratch)
+        ii0 = jax.lax.broadcasted_iota(jnp.int32, (Hb, Wp), 0) + r0
+        infpat0 = jnp.where((ii0 < H1) & (jj < W1),
+                            jnp.float32(jnp.inf), 0.0).astype(cv_dtype)
+
+        @pl.when(d0 >= D)
+        def _():
+            for k in range(DC):
+                out_ref[k] = infpat0
+
+        @pl.when(d0 < D)
+        def _():
+            _kernel_body(src, tgt_b, sum_s, den_s, out_ref, scr_ref,
+                         d0, jj, c, DC=DC, Hx=Hx, Wp=Wp,
+                         h_radius=h_radius, v_radius=v_radius, n=n,
+                         kind=kind, cv_dtype=cv_dtype, W1=W1,
+                         negate=negate, pad_d_inf=pad_d_inf, D=D, H1=H1,
+                         r0=r0, pout_bake=pout_bake, mxu_v=mxu_v,
+                         bv_ref=bv_ref)
+        return
+    _kernel_body(src, tgt_b, sum_s, den_s, out_ref, scr_ref, d0, jj, c,
+                 DC=DC, Hx=Hx, Wp=Wp, h_radius=h_radius,
+                 v_radius=v_radius, n=n, kind=kind, cv_dtype=cv_dtype,
+                 W1=W1, negate=negate, pad_d_inf=pad_d_inf, D=D, H1=H1,
+                 r0=r0, pout_bake=pout_bake, mxu_v=mxu_v, bv_ref=bv_ref)
+
+
+def _kernel_body(src, tgt_b, sum_s, den_s, out_ref, scr_ref, d0, jj, c,
+                 *, DC, Hx, Wp, h_radius, v_radius, n, kind, cv_dtype,
+                 W1, negate, pad_d_inf, D, H1, r0, pout_bake, mxu_v,
+                 bv_ref):
     for k in range(DC):
         t_d = jax.lax.slice_in_dim(tgt_b[0], k, k + Wp, axis=1)
         if mxu_v:
@@ -208,7 +244,7 @@ def _kernel(*refs, DC, Hb, Wp, Wpp, h_radius, v_radius, n, kind,
             # Padded image rows must be EXACT zeros (the un-normalized
             # cc/zcc kinds see real rows through the window there, and
             # diagonal carries lane-shift pad values into real lanes).
-            ii = jax.lax.broadcasted_iota(jnp.int32, (Hb, Wp), 0) + r0
+            ii = jax.lax.broadcasted_iota(jnp.int32, jj.shape, 0) + r0
             infpat = jnp.where((ii < H1) & (jj < W1), jnp.float32(jnp.inf),
                                0.0)
             val = jnp.where(d0 + k < D, jnp.where(ii < H1, val, 0.0),
@@ -395,7 +431,7 @@ def _fused_call(kind, img_l, img_r, h_radius, v_radius, D, Dp, Hb,
         _kernel, DC=DC, Hb=Hb, Wp=Wp, Wpp=Wpp, h_radius=h_radius,
         v_radius=v_radius, n=n, kind=kind, cv_dtype=cv_dtype, W1=W,
         negate=negate, pad_d_inf=pad_d_inf, D=D, H1=H,
-        pout_bake=pout_bake, banded=banded, mxu_v=mxu_v)
+        pout_bake=pout_bake, banded=banded, mxu_v=mxu_v, Dp_total=Dp)
     Hpp = Hp + 2 * pr
     Hx = Hb + 2 * pr
     out_spec = pl.BlockSpec((DC, Hb, Wp), lambda h, d: (d, h, 0),
