@@ -61,7 +61,8 @@ _INF = float("inf")
 #                    flipped layout), in context XLA materializes the
 #                    `adj_d + adj_u` add and still pays the relayout,
 #                    so the extra 2-stream write loses to the acc pass.
-TUNE = {"rc_down": None, "rc_up": None, "force_split_up": False}
+TUNE = {"rc_down": None, "rc_up": None, "rc_fwd": None,
+        "force_split_up": False}
 
 # Measured-best down-pass row chunks per (Dp, Xp, itemsize); geometries
 # not listed use the generic picker.
@@ -744,6 +745,8 @@ def _run_dhw(region, ml, W_pout, P1, P2, Pout, diag, vmem_budget,
         split_up = True
     rc_fwd = _pick_rc(Dp, Hp_lanes, 1 + nck, vmem_budget, n_streams=3,
                       itemsize=isz)
+    if TUNE.get("rc_fwd") and rc_fwd is not None:
+        rc_fwd = min(TUNE["rc_fwd"], rc_fwd)
     split_fwd = rc_fwd is None
     if split_fwd:
         rc_fwd = _pick_rc(Dp, Hp_lanes, 1 + nck, vmem_budget, n_streams=2,
