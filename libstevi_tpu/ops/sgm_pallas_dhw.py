@@ -157,7 +157,8 @@ def _dhw_rows_kernel(*refs, RC, Dp, Xp, Np, N1, X1, ml, W_pout, P1, P2,
                      Pout, reverse, diag, accumulate, transposed,
                      with_carries, H_corner, knight=False, N_glob=None,
                      corner_stream=False, knight_stream=False,
-                     pout_baked=False, parity_traced=False):
+                     pout_baked=False, parity_traced=False,
+                     lane_grid=False):
     """One streaming pass over scan rows of a (N, Dp, Xp) volume.
 
     Normal orientation (``transposed=False``): scan rows are image rows,
@@ -219,8 +220,11 @@ def _dhw_rows_kernel(*refs, RC, Dp, Xp, Np, N1, X1, ml, W_pout, P1, P2,
     else:
         (cv_carry,) = carries
 
-    h = pl.program_id(0)
-    n = pl.num_programs(0)
+    # lane-chunked grids put the lane chunk OUTERMOST (scan innermost:
+    # each chunk completes its whole scan before the next, reusing the
+    # per-chunk carry scratch reset at h == 0)
+    h = pl.program_id(1 if lane_grid else 0)
+    n = pl.num_programs(1 if lane_grid else 0)
 
     dt = cv_ref.dtype
 
@@ -568,19 +572,47 @@ def _bake_mult_plane(Wp_rows, Hl, H1, W1, n_dirs):
 
 def _rows_call(cv_p, acc, *, RC, N1, X1, ml, W_pout, P1, P2, Pout,
                reverse, diag, transposed, H_corner, interpret,
-               knight=False, corner_stream=False, pout_baked=False):
+               knight=False, corner_stream=False, pout_baked=False,
+               lane_chunks=None):
     Np, Dp, Xp = cv_p.shape
     n_chunks = Np // RC
-    if reverse:
+    if lane_chunks:
+        # lane-chunked grid for TRANSPOSED passes: the horizontal DP
+        # carries are lane-local (image rows), so big Dp x lanes tiles
+        # split into 128-multiple chunks with per-chunk carry scratch —
+        # this restores large row chunks when full-width streams exceed
+        # scoped VMEM (HD D=320: rc 2 -> 8).  Exact for non-shifting
+        # carries only (no diag/knight/corner streams; the kernel's
+        # transposed-mode Pout gate is lane-independent).
+        if diag or knight or corner_stream or not transposed:
+            raise ValueError("lane chunking: transposed non-shifting "
+                             "passes only")
+        nl, Lc = lane_chunks
+        if Xp != nl * Lc:
+            raise ValueError("lane chunking needs the array lane dim "
+                             "pre-padded to nl * Lc")
+        Xp = Lc
+        if reverse:
+            spec = pl.BlockSpec((RC, Dp, Lc),
+                                lambda lc, h: (n_chunks - 1 - h, 0, lc),
+                                memory_space=pltpu.VMEM)
+        else:
+            spec = pl.BlockSpec((RC, Dp, Lc), lambda lc, h: (h, 0, lc),
+                                memory_space=pltpu.VMEM)
+        grid = (nl, n_chunks)
+        cw_spec = None
+    elif reverse:
         spec = pl.BlockSpec((RC, Dp, Xp), lambda h: (n_chunks - 1 - h, 0, 0),
                             memory_space=pltpu.VMEM)
         cw_spec = pl.BlockSpec((RC, 2, Xp), lambda h: (n_chunks - 1 - h, 0, 0),
                                memory_space=pltpu.VMEM)
+        grid = (n_chunks,)
     else:
         spec = pl.BlockSpec((RC, Dp, Xp), lambda h: (h, 0, 0),
                             memory_space=pltpu.VMEM)
         cw_spec = pl.BlockSpec((RC, 2, Xp), lambda h: (h, 0, 0),
                                memory_space=pltpu.VMEM)
+        grid = (n_chunks,)
     corner_stream = corner_stream and diag and not transposed
     knight_stream = knight
     kernel = functools.partial(
@@ -589,7 +621,8 @@ def _rows_call(cv_p, acc, *, RC, N1, X1, ml, W_pout, P1, P2, Pout,
         reverse=reverse, diag=diag, accumulate=acc is not None,
         transposed=transposed, with_carries=False, H_corner=H_corner,
         knight=knight, corner_stream=corner_stream,
-        knight_stream=knight_stream, pout_baked=pout_baked)
+        knight_stream=knight_stream, pout_baked=pout_baked,
+        lane_grid=lane_chunks is not None)
     in_specs = [spec] if acc is None else [spec, spec]
     args = (cv_p,) if acc is None else (cv_p, acc)
     if corner_stream:
@@ -610,8 +643,8 @@ def _rows_call(cv_p, acc, *, RC, N1, X1, ml, W_pout, P1, P2, Pout,
     # output write-back and measures 2x slower (0.92 -> 1.73 ms per pass
     # at 480x640x120); the extra HBM allocation is cheap by comparison.
     return pl.pallas_call(
-        kernel, grid=(n_chunks,), in_specs=in_specs, out_specs=spec,
-        out_shape=jax.ShapeDtypeStruct((Np, Dp, Xp), cv_p.dtype),
+        kernel, grid=grid, in_specs=in_specs, out_specs=spec,
+        out_shape=jax.ShapeDtypeStruct(cv_p.shape, cv_p.dtype),
         scratch_shapes=[pltpu.VMEM((Dp, Xp), cv_p.dtype)]
         * ((3 if diag else 1) + (4 if knight else 0)),
         interpret=interpret)(*args)
@@ -793,6 +826,24 @@ def _run_dhw(region, ml, W_pout, P1, P2, Pout, diag, vmem_budget,
                 break              # lane chunking breaks knight carries
         if not found:
             return None
+    # FWD lane chunking (round 5): when scoped VMEM forces a small row
+    # chunk on the full-width transposed acc pass (HD D=320: rc_fwd=2),
+    # split the lane axis like the WTA pass does — horizontal carries
+    # are lane-local, so chunking is exact (knight carries lane-shift
+    # and are excluded).  The fwd and WTA passes share ONE padded lane
+    # extent (nl * Lc).
+    fwd_chunks = None
+    if (not knight and wta_radius is not None and force_wta_nl is None
+            and not split_fwd and rc_fwd is not None and rc_fwd < 8):
+        for nl_c in (2, 3, 4, 6, 8):
+            lc_c = _round_up(-(-Hp_lanes // nl_c), 128)
+            rc_c = _pick_rc(Dp, lc_c, 1, vmem_budget, n_streams=3,
+                            itemsize=isz)
+            if rc_c == 8 and wta_est(lc_c) <= 15_900_000:
+                fwd_chunks = (nl_c, lc_c)
+                rc_fwd = 8
+                wta_nl, wta_lc = nl_c, lc_c
+                break
     Hp = _round_up(H1, 8)
     Wp_rows = Wp                         # lane pad of the normal passes
                                          # doubles as T-side scan-row pad
@@ -837,6 +888,17 @@ def _run_dhw(region, ml, W_pout, P1, P2, Pout, diag, vmem_budget,
         cv_cols = to_T(cv_p)            # keeps +inf d-pad, zero lane pad
     adj_T = to_T(adj)                   # the ONE full-volume relayout
 
+    if fwd_chunks is not None:
+        # pad the lane extent once for BOTH the chunked fwd pass and
+        # the lane-chunked WTA (the pads fuse into the transpose
+        # producer copies); pad lanes carry zero cost and lane-local
+        # carries, and their outputs are sliced away
+        nl_f, lc_f = fwd_chunks
+        lp = nl_f * lc_f - Hp_lanes
+        if lp:
+            cv_cols = jnp.pad(cv_cols, ((0, 0), (0, 0), (0, lp)))
+            adj_T = jnp.pad(adj_T, ((0, 0), (0, 0), (0, lp)))
+
     if split_fwd:
         adj_fT = _rows_call(cv_cols, None, RC=rc_fwd, N1=W1, X1=H1,
                             reverse=False, diag=False, transposed=True,
@@ -845,7 +907,7 @@ def _run_dhw(region, ml, W_pout, P1, P2, Pout, diag, vmem_budget,
     else:
         adj_T = _rows_call(cv_cols, adj_T, RC=rc_fwd, N1=W1, X1=H1,
                            reverse=False, diag=False, transposed=True,
-                           H_corner=H1, **kw)
+                           H_corner=H1, lane_chunks=fwd_chunks, **kw)
 
     if wta_radius is None:
         if split_fwd:
@@ -863,11 +925,13 @@ def _run_dhw(region, ml, W_pout, P1, P2, Pout, diag, vmem_budget,
     n_chunks = Wp_rows // rc_t
     nl, Lc = wta_nl, wta_lc
     Hl_pad = nl * Lc
-    if Hl_pad != Hp_lanes:
-        # the pads fuse into the to_T/transpose producer copies
+    if Hl_pad != cv_cols.shape[-1]:
+        # the pads fuse into the to_T/transpose producer copies (no-op
+        # when the chunked fwd pass already padded to the shared extent)
         cv_cols = jnp.pad(cv_cols, ((0, 0), (0, 0),
-                                    (0, Hl_pad - Hp_lanes)))
-        adj_T = jnp.pad(adj_T, ((0, 0), (0, 0), (0, Hl_pad - Hp_lanes)))
+                                    (0, Hl_pad - cv_cols.shape[-1])))
+        adj_T = jnp.pad(adj_T, ((0, 0), (0, 0),
+                                (0, Hl_pad - adj_T.shape[-1])))
     spec = pl.BlockSpec((rc_t, Dp, Lc),
                         lambda lc, h: (n_chunks - 1 - h, 0, lc),
                         memory_space=pltpu.VMEM)

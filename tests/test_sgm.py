@@ -365,3 +365,30 @@ def test_pout_baked_16dir_matches_unbaked_raw_bands():
         np.testing.assert_allclose(np.asarray(b1, np.float32),
                                    np.asarray(b0, np.float32),
                                    rtol=0, atol=2e-3)
+
+
+def test_lane_chunked_fwd_pass_exact():
+    """Round-5: the lane-chunked transposed rows pass (per-chunk carry
+    scratch, shared padded lane extent) must be BIT-identical to the
+    full-width pass — horizontal DP carries are lane-local."""
+    import jax.numpy as jnp
+    from libstevi_tpu.ops import sgm_pallas_dhw as dhw
+
+    rng = np.random.default_rng(9)
+    Wscan, Dp, Hl = 32, 16, 256          # lanes = 2 x 128
+    cv_T = jnp.asarray(rng.uniform(0, 4, (Wscan, Dp, Hl))
+                       .astype(np.float32))
+    acc = jnp.asarray(rng.uniform(0, 1, (Wscan, Dp, Hl))
+                      .astype(np.float32))
+    kw = dict(RC=8, N1=30, X1=250, ml=0, W_pout=30, P1=0.3, P2=1.1,
+              Pout=7.0, diag=False, transposed=True, H_corner=250,
+              interpret=True)
+    for reverse in (False, True):
+        for baked in (False, True):
+            full = dhw._rows_call(cv_T, acc, reverse=reverse,
+                                  pout_baked=baked, **kw)
+            chunked = dhw._rows_call(cv_T, acc, reverse=reverse,
+                                     pout_baked=baked,
+                                     lane_chunks=(2, 128), **kw)
+            np.testing.assert_array_equal(np.asarray(full),
+                                          np.asarray(chunked))
