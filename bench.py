@@ -116,6 +116,15 @@ def main():
     DERIVED_FLOOR_S = 2.43e-3
     vs_floor = DERIVED_FLOOR_S / dt
 
+    # Round-5 measured-stage floor: the sum of the best ISOLATED
+    # per-stage measurements (CV 0.76 incl. its irreducible per-d lane
+    # shifts + cv_T 0.17 + down 0.635 + up 0.705 + adj_T 0.17 + fwd
+    # 0.357 + rev/WTA 0.30 ≈ 3.15 ms) — what this pass structure
+    # reaches with zero in-context scheduling overhead.  The 2.43 hard
+    # floor's CV and transpose terms have no implementation on this
+    # layout (docs/PERF.md "The two committed floors", with receipts).
+    STAGE_FLOOR_S = 3.15e-3
+
     print(json.dumps({
         "metric": "dense ZNCC+SGM8+WTA+subpixel 480x640 D=120 frames/s/chip",
         "value": round(fps, 3),
@@ -130,6 +139,8 @@ def main():
         "vs_roofline_live": round(t_live / dt, 4) if t_live > 0 else 0.0,
         "vs_derived_floor": round(vs_floor, 4),
         "derived_floor_ms": DERIVED_FLOOR_S * 1e3,
+        "vs_stage_floor": round(STAGE_FLOOR_S / dt, 4),
+        "stage_floor_ms": STAGE_FLOOR_S * 1e3,
         "ms_per_frame_median5": round(dt * 1e3, 3),
     }))
 
