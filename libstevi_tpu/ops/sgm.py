@@ -493,8 +493,14 @@ def dense_sgm_stereo(func, img_l: jnp.ndarray, img_r: jnp.ndarray,
             # of the padded volume (measured faster in context than a
             # second axis-swapped kernel invocation — the per-disparity
             # sublane shifts make the transposed builder ~1 ms vs ~0.4 ms
-            # for XLA's tile transpose; see docs/PERF.md round-4 notes)
+            # for XLA's tile transpose; see docs/PERF.md round-4 notes).
+            # The barrier pins the relayout RIGHT AFTER the builder,
+            # before the DP passes — without it the scheduler floats the
+            # copy into the issue-limited chain: 3.45 vs 3.51 ms
+            # end-to-end, consistent across interleaved reps
+            # (scripts/exp_r5_sched.py)
             cv_T = jnp.transpose(cv_nat, (2, 1, 0))
+            cv_nat, cv_T = jax.lax.optimization_barrier((cv_nat, cv_T))
             from .refinement import InterpolationKernel
             fuse_refine = (refine_kernel is InterpolationKernel.PARABOLA
                            and r >= 1)
