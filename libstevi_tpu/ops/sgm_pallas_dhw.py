@@ -62,7 +62,7 @@ _INF = float("inf")
 #                    `adj_d + adj_u` add and still pays the relayout,
 #                    so the extra 2-stream write loses to the acc pass.
 TUNE = {"rc_down": None, "rc_up": None, "rc_fwd": None,
-        "force_split_up": False}
+        "force_split_up": False, "adj_T_barrier": False}
 
 # Measured-best down-pass row chunks per (Dp, Xp, itemsize); geometries
 # not listed use the generic picker.
@@ -887,6 +887,8 @@ def _run_dhw(region, ml, W_pout, P1, P2, Pout, diag, vmem_budget,
     if native is None:
         cv_cols = to_T(cv_p)            # keeps +inf d-pad, zero lane pad
     adj_T = to_T(adj)                   # the ONE full-volume relayout
+    if TUNE.get("adj_T_barrier"):
+        cv_cols, adj_T = jax.lax.optimization_barrier((cv_cols, adj_T))
 
     if fwd_chunks is not None:
         # pad the lane extent once for BOTH the chunked fwd pass and
