@@ -117,13 +117,14 @@ def main():
     vs_floor = DERIVED_FLOOR_S / dt
 
     # Round-5 measured-stage floor: the sum of the best ISOLATED
-    # per-stage measurements (CV 0.76 incl. its irreducible per-d lane
-    # shifts + cv_T 0.17 + down 0.635 + up 0.705 + adj_T 0.17 + fwd
-    # 0.357 + rev/WTA 0.30 ≈ 3.15 ms) — what this pass structure
-    # reaches with zero in-context scheduling overhead.  The 2.43 hard
-    # floor's CV and transpose terms have no implementation on this
-    # layout (docs/PERF.md "The two committed floors", with receipts).
-    STAGE_FLOOR_S = 3.15e-3
+    # per-stage measurements — CV 0.76 (incl. its irreducible per-d
+    # lane shifts) + cv_T 0.17 + down 0.635 + up 0.705 + adj_T 0.28 +
+    # fwd 0.357 + rev/WTA 0.30 = 3.21 ms (docs/PERF.md round-5 table) —
+    # what this pass structure reaches with zero in-context scheduling
+    # overhead.  The 2.43 hard floor's CV and transpose terms have no
+    # implementation on this layout (docs/PERF.md "The two committed
+    # floors", with receipts).
+    STAGE_FLOOR_S = 3.21e-3
 
     print(json.dumps({
         "metric": "dense ZNCC+SGM8+WTA+subpixel 480x640 D=120 frames/s/chip",

@@ -30,6 +30,12 @@ def _build(name: str) -> str:
         return so
     if shutil.which("g++") is None:
         if os.path.exists(so):
+            if recorded is not None and recorded != digest:
+                import warnings
+                warnings.warn(
+                    f"{name}.cpp changed but no g++ is available to "
+                    f"rebuild — using the STALE compiled {name}.so",
+                    RuntimeWarning, stacklevel=2)
             return so          # committed binary, no toolchain to rebuild
         raise OSError(f"no g++ available to build {name}.cpp")
     subprocess.run(

@@ -260,8 +260,10 @@ def _kernel_body(src, tgt_b, sum_s, den_s, out_ref, scr_ref, d0, jj, c,
 # live-register reuse; e.g. the flagship 480x640 D=120 bf16 at Hb=240
 # compiles at estimate ~22 MB and runs 6% faster than Hb=48 — the
 # smaller band pays (Hb+16)/Hb halo overcompute on every window sum).
-# Keyed by (Hb, Wp, Wpp, out_itemsize).
-_FUSED_VERIFIED = {(240, 640, 776, 2), (96, 640, 776, 2)}
+# Keyed by (Hp, Hb, Wp, Wpp, out_itemsize) — Hp must be in the key: the
+# resident image/stat planes scale with it, so a verification at one
+# height must not admit a taller image's genuinely-larger residents.
+_FUSED_VERIFIED = {(480, 240, 640, 776, 2), (480, 96, 640, 776, 2)}
 _FUSED_EST_HARD = 15_000_000
 _FUSED_EST_CALIB = 23_000_000
 
@@ -302,7 +304,7 @@ def box_fused_in_scope(func: MatchingFunction, shape, h_radius: int,
         est = resident + scratch + temps + out_c
         if est <= _FUSED_EST_HARD:
             return cand
-        if est <= _FUSED_EST_CALIB and (cand, Wp, Wpp,
+        if est <= _FUSED_EST_CALIB and (Hp, cand, Wp, Wpp,
                                         osz) in _FUSED_VERIFIED:
             return cand
     return None

@@ -16,9 +16,16 @@ import jax.numpy as jnp
 
 from libstevi_tpu.core import MatchingFunction
 from libstevi_tpu.ops import dense_sgm_stereo, InterpolationKernel
+from libstevi_tpu.ops import box_pallas as _bp
 from libstevi_tpu.ops.box_pallas import (box_cost_volume_fused_padded,
                                          box_fused_in_scope)
 from libstevi_tpu.utils.profiling import device_timer
+
+# This receipt reproduces the MID-ROUND state in which the MXU-V path
+# was wired at default matmul precision (before the accuracy refutation
+# flipped the production default back to None — see the module comment
+# on MXU_V_PRECISION and scripts/exp_r5_parityprec.py).
+_bp.MXU_V_PRECISION = "default"
 
 H, W, D = 480, 640, 120
 rng = np.random.default_rng(0)
