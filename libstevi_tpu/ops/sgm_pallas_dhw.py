@@ -62,7 +62,15 @@ _INF = float("inf")
 #                    `adj_d + adj_u` add and still pays the relayout,
 #                    so the extra 2-stream write loses to the acc pass.
 TUNE = {"rc_down": None, "rc_up": None, "rc_fwd": None,
-        "force_split_up": False, "adj_T_barrier": False}
+        "force_split_up": False, "adj_T_barrier": False,
+        "downup_barrier": False}
+
+# Scoped-VMEM pool: all acceptance bounds shift with the pool size when
+# LIBTPU_INIT_ARGS raises it (utils/vmem.py); at the default 16 MB pool
+# these equal the round-4/5 calibrated constants exactly.
+from ..utils.vmem import scope_delta as _scope_delta
+_SCOPED_LIMIT = 15_900_000 + _scope_delta()   # pool minus Mosaic margin
+_VMEM_BUDGET = 12 * 1024 * 1024 + max(0, _scope_delta()) * 3 // 4
 
 # Measured-best down-pass row chunks per (Dp, Xp, itemsize); geometries
 # not listed use the generic picker.
@@ -660,9 +668,11 @@ def _pick_rc(Dp, Xp, n_carries, vmem_budget, n_streams=3, max_rc=8,
     Undersizing rc wastes grid steps; oversizing collapses
     double-buffering (the fwd-T acc pass measures 1.7 ms at rc=8/11.8 MB
     vs ~0.9 ms at rc=4)."""
+    if vmem_budget is None:
+        vmem_budget = _VMEM_BUDGET
     u = Dp * Xp * itemsize
     slack = 3 * (1 << 19)
-    scoped_limit = 15_900_000          # 16 MB scoped vmem minus margin
+    scoped_limit = _SCOPED_LIMIT       # scoped vmem pool minus margin
     stack = 11 * u                     # live row-expression intermediates
     for rc in (8, 4, 2, 1):
         if rc > max_rc:
@@ -675,7 +685,7 @@ def _pick_rc(Dp, Xp, n_carries, vmem_budget, n_streams=3, max_rc=8,
 
 def sgm_fused_adj_dhw(region: jnp.ndarray, ml: int, W_pout: int, P1: float,
                       P2: float, Pout: float, n_directions: int,
-                      vmem_budget: int = 12 * 1024 * 1024,
+                      vmem_budget: int | None = None,
                       interpret: bool | None = None):
     """All principal-direction adj contributions for a (H1, D, W1) volume
     in the disparity-on-sublanes layout.  Returns adj as (H1, D, W1), or
@@ -693,7 +703,7 @@ def sgm_fused_adj_dhw(region: jnp.ndarray, ml: int, W_pout: int, P1: float,
 def sgm_fused_wta_dhw(region: jnp.ndarray, ml: int, W_pout: int, P1: float,
                       P2: float, Pout: float, n_directions: int,
                       wta_radius: int,
-                      vmem_budget: int = 12 * 1024 * 1024,
+                      vmem_budget: int | None = None,
                       interpret: bool | None = None):
     """SGM + tie-last WTA + truncated band for a (H1, D, W1) volume.
     Returns (idx (H1, W1) int32, bands (H1, W1, 2r+1) f32) or None."""
@@ -710,7 +720,7 @@ def sgm_fused_wta_from_native(cv_nat, cv_T_nat, H1: int, W1: int, D: int,
                               ml: int, W_pout: int, P1: float, P2: float,
                               Pout: float, n_directions: int,
                               wta_radius: int,
-                              vmem_budget: int = 12 * 1024 * 1024,
+                              vmem_budget: int | None = None,
                               interpret: bool | None = None,
                               pout_baked: bool = False,
                               force_wta_nl: int | None = None,
@@ -819,7 +829,7 @@ def _run_dhw(region, ml, W_pout, P1, P2, Pout, diag, vmem_budget,
         found = False
         for nl_c in (1, 2, 3, 4, 6, 8, 12, 16):
             lc_c = Hp_lanes if nl_c == 1                 else _round_up(-(-Hp_lanes // nl_c), 128)
-            if wta_est(lc_c) <= 15_900_000:
+            if wta_est(lc_c) <= _SCOPED_LIMIT:
                 wta_nl, wta_lc, found = nl_c, lc_c, True
                 break
             if knight:
@@ -839,7 +849,7 @@ def _run_dhw(region, ml, W_pout, P1, P2, Pout, diag, vmem_budget,
             lc_c = _round_up(-(-Hp_lanes // nl_c), 128)
             rc_c = _pick_rc(Dp, lc_c, 1, vmem_budget, n_streams=3,
                             itemsize=isz)
-            if rc_c == 8 and wta_est(lc_c) <= 15_900_000:
+            if rc_c == 8 and wta_est(lc_c) <= _SCOPED_LIMIT:
                 fwd_chunks = (nl_c, lc_c)
                 rc_fwd = 8
                 wta_nl, wta_lc = nl_c, lc_c
@@ -869,6 +879,8 @@ def _run_dhw(region, ml, W_pout, P1, P2, Pout, diag, vmem_budget,
     adj = _rows_call(cv_rows, None, RC=rc_down, N1=H1, X1=W1, reverse=False,
                      diag=diag, transposed=False, H_corner=H1,
                      corner_stream=True, **kw)
+    if TUNE.get("downup_barrier"):
+        cv_rows, adj = jax.lax.optimization_barrier((cv_rows, adj))
     if split_up:
         adj_up = _rows_call(cv_rows, None, RC=rc_up, N1=H1, X1=W1,
                             reverse=True, diag=diag, transposed=False,
@@ -1005,7 +1017,7 @@ def sgm_rows_shard_pass_dhw(cv_p: jnp.ndarray, acc, carries, i0, *,
                             knight: bool = False, transposed: bool = False,
                             N_glob: int | None = None,
                             parity_traced: bool = False,
-                            vmem_budget: int = 12 * 1024 * 1024,
+                            vmem_budget: int | None = None,
                             interpret: bool = False):
     """One shard's down (or up) DHW pass with carry injection
     (`_dhw_rows_kernel` with_carries mode): ``carries`` is 1 (vertical)
@@ -1076,7 +1088,7 @@ def sgm_rows_shard_pass_dhw(cv_p: jnp.ndarray, acc, carries, i0, *,
 def sgm_cols_shard_pass_dhw(cv_p: jnp.ndarray, acc, *, H1: int, W1: int,
                             ml: int, W_pout: int, P1: float, P2: float,
                             Pout: float, reverse: bool,
-                            vmem_budget: int = 12 * 1024 * 1024,
+                            vmem_budget: int | None = None,
                             interpret: bool = False):
     """One shard's horizontal pass (the scan axis W is not sharded, so
     this is fully local): transpose to (W, D, H_loc) and run the
